@@ -1,0 +1,114 @@
+"""Continuity filtering and path compression (host, vectorized numpy).
+
+Reference semantics:
+- get_continuity_err (describealign.py:702-724): forward/backward
+  half-hann-smoothed local linear fits; a point's continuity error is its
+  distance to the better of the two local lines.
+- pass-1 filter (726-731): drop match points with continuity error >= 3.
+- compression (743-767): runs of 70 well-fit points collapse to their mean;
+  duplicate audio indices are deduped by averaging their video indices.
+
+These run on the compressed match path (thousands of points) - host numpy
+is the right tool; there is nothing here for the TPU.
+"""
+import numpy as np
+
+from ..ops.windows import hann_window
+from .preprocess import SAMPLES_PER_NODE
+
+_HALF = SAMPLES_PER_NODE // 2          # 10
+_FIT_DELAY = SAMPLES_PER_NODE + _HALF - 2  # 29
+
+
+def _half_hann_taps():
+    w = hann_window(2 * SAMPLES_PER_NODE + 1)[1:-1]
+    w = w / np.sum(w)
+    half = w[:SAMPLES_PER_NODE - 1]
+    return half / np.sum(half)
+
+
+def get_continuity_err(x, y, deriv=False):
+    """Distance of each point to its local (past or future) linear fit."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    taps = _half_hann_taps()
+
+    def diff_by(arr, offset=_HALF):
+        return arr[offset:] - arr[:-offset]
+
+    x_fut = np.convolve(x, taps, mode='valid')
+    y_fut = np.convolve(y, taps, mode='valid')
+    slopes_fut = diff_by(y_fut) / diff_by(x_fut)
+    offsets_fut = y_fut[:-_HALF] - x_fut[:-_HALF] * slopes_fut
+
+    x_past = np.convolve(x, taps[::-1], mode='valid')
+    y_past = np.convolve(y, taps[::-1], mode='valid')
+    slopes_past = diff_by(y_past) / diff_by(x_past)
+    offsets_past = y_past[_HALF:] - x_past[_HALF:] * slopes_past
+
+    err = np.full(len(x) - (1 if deriv else 0), np.inf)
+    fd = _FIT_DELAY - (1 if deriv else 0)
+    err[:-fd] = np.abs(slopes_fut * x[:-_FIT_DELAY]
+                       + offsets_fut - y[:-_FIT_DELAY])
+    err[fd:] = np.minimum(err[fd:],
+                          np.abs(slopes_past * x[_FIT_DELAY:]
+                                 + offsets_past - y[_FIT_DELAY:]))
+    return err
+
+
+def continuity_filter(x, y, threshold=3.0):
+    keep = get_continuity_err(x, y) < threshold
+    return x[keep], y[keep]
+
+
+def _smooth_mean(arr):
+    """41-tap hann local mean (reference get_mean, 596-599)."""
+    w = hann_window(2 * SAMPLES_PER_NODE + 1)[1:-1]
+    w = w / np.sum(w)
+    return np.convolve(w, np.asarray(arr, np.float64), mode='same')[:len(arr)]
+
+
+def compress_path(x, y, run=70, err_threshold=3.0):
+    """Collapse well-fit runs to their means; dedupe repeated audio indices.
+
+    Returns (x_nodes f64, y_nodes f64) with strictly increasing x.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    smooth_x = _smooth_mean(x)
+    smooth_y = _smooth_mean(y)
+    slopes = np.diff(smooth_y) / np.diff(smooth_x)
+    offsets = smooth_y[:-1] - smooth_x[:-1] * slopes
+    err_y = slopes * x[:-1] + offsets - y[:-1]
+
+    comp_x, comp_y = [], []
+
+    def extend(index, compress=False, num=run):
+        if compress:
+            comp_x.append(np.mean(x[index:index + num]))
+            comp_y.append(np.mean(y[index:index + num]))
+        else:
+            comp_x.extend(x[index:index + num])
+            comp_y.extend(y[index:index + num])
+
+    extend(0, num=10)
+    i = 10 - run  # matches reference tail handling when the loop is empty
+    for i in range(10, len(x) - run - 10, run):
+        extend(i, compress=bool(np.all(np.abs(err_y[i:i + run]) < err_threshold)))
+    extend(i + run)
+
+    cx = np.asarray(comp_x)
+    cy = np.asarray(comp_y)
+    # dedupe: average video indices of equal audio indices, preserving the
+    # first-occurrence order (reference 760-767)
+    x_unique, first_idx, inverse = np.unique(cx, return_index=True,
+                                             return_inverse=True)
+    sums = np.zeros(len(x_unique))
+    counts = np.zeros(len(x_unique))
+    np.add.at(sums, inverse, cy)
+    np.add.at(counts, inverse, 1)
+    means = sums / counts
+    order = np.argsort(first_idx)
+    # reference iterates in encounter order; x is monotone enough in practice
+    # that encounter order == sorted order, but we preserve it exactly
+    return x_unique[order], means[order]

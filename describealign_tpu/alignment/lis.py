@@ -1,0 +1,88 @@
+"""Weighted longest-increasing-subsequence chain over match candidates.
+
+Exact reference semantics (describealign.py:654-699): candidates are
+processed in (audio, video, qual) order; a sorted structure keyed by video
+index holds the best cumulative quality ending at each video position;
+dominated entries (later video, lower cum quality) are pruned; backpointers
+reconstruct the maximal monotone chain.
+
+Irregular, data-dependent DP is the one part of the pipeline that does not
+map to the TPU; it runs on the host. A C++ implementation (native/dp.cpp)
+handles production sizes; the Python version here is the semantic reference
+used to validate it.
+"""
+import numpy as np
+from sortedcontainers import SortedList
+
+from .native import native_lib
+
+
+def weighted_lis_py(audio_idx, video_idx, qual):
+    """Pure-Python exact LIS. Inputs sorted by (audio, video, qual).
+
+    Returns (video_path, audio_path) int64 arrays (increasing audio order).
+    """
+    best = SortedList(key=lambda t: t[0])
+    best.add((-1, -1, 0.0))
+    backptr = {}
+    for v, i, q in zip(video_idx.tolist(), audio_idx.tolist(), qual.tolist()):
+        cur = best.bisect_right((v,))
+        prev_v, prev_i, prev_cum = best[cur - 1]
+        cum = prev_cum + q
+        while cur < len(best) and best[cur][2] <= cum:
+            del best[cur]
+        best.add((v, i, cum))
+        backptr[(v, i)] = (prev_v, prev_i)
+    path = [best[-1][:2]]
+    while path[-1] in backptr:
+        path.append(backptr[path[-1]])
+    path.pop()  # drop the (-1, -1) sentinel
+    path.reverse()
+    arr = np.array(path, dtype=np.int64).reshape(-1, 2)
+    return arr[:, 0], arr[:, 1]
+
+
+def weighted_lis_native(audio_idx, video_idx, qual):
+    import ctypes
+    lib = native_lib()
+    n = len(qual)
+    out_v = np.empty(n + 1, np.int64)
+    out_a = np.empty(n + 1, np.int64)
+    out_len = ctypes.c_longlong(0)
+    rc = lib.weighted_lis(
+        video_idx.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        audio_idx.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        qual.astype(np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(n),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ctypes.byref(out_len))
+    if rc != 0:
+        raise RuntimeError("native weighted_lis failed")
+    m = out_len.value
+    return out_v[:m].copy(), out_a[:m].copy()
+
+
+def weighted_lis(audio_idx, video_idx, qual):
+    """Dispatch to the native DP when available, Python otherwise."""
+    if native_lib() is not None:
+        return weighted_lis_native(audio_idx, video_idx, qual)
+    return weighted_lis_py(audio_idx, video_idx, qual)
+
+
+def candidates_from_match_output(quals, vids, block=210):
+    """Flatten device matcher output to sorted candidate arrays.
+
+    quals, vids: (B, block, K) arrays; qual == 0 marks empty slots.
+    Returns (audio_idx, video_idx, qual) sorted by (audio, video, qual).
+    """
+    quals = np.asarray(quals)
+    vids = np.asarray(vids)
+    nb, blk, k = quals.shape
+    audio = (np.arange(nb * blk).repeat(k)).reshape(nb, blk, k)
+    keep = quals > 0
+    a = audio[keep].astype(np.int64)
+    v = vids[keep].astype(np.int64)
+    q = quals[keep].astype(np.float64)
+    order = np.lexsort((q, v, a))
+    return a[order], v[order], q[order]

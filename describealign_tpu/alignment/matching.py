@@ -1,0 +1,232 @@
+"""TPU-native match generation: coarse offset search + fine banded correlation.
+
+The reference finds audio<->video frame matches with a hash-bin inverted
+index over quantized 7-tap descriptors plus Python loops
+(describealign.py:610-699). That design is irregular and scalar - the
+opposite of what XLA wants. This module re-derives the same quantities with
+dense, static-shape kernels:
+
+1. COARSE (10 Hz): normalized 41-frame window descriptors of the first 3
+   features, strided by 21 frames, matched all-pairs on the MXU. The score
+   matrix is skewed into (time-block, offset) coordinates and a max-plus DP
+   (exact via running-cummax distance transforms) finds a monotone offset
+   track with |slope| and jump penalties. This replaces the hash index's
+   "find candidates anywhere" role.
+
+2. FINE (210 fps): for each 210-frame audio block, windowed Pearson
+   correlations of all 5 features against a +/-279-frame video band around
+   the coarse track, as batched (210,41)x(41,768) MXU matmuls. Per-frame
+   match quality replicates the reference's Naive-Bayes form
+   (describealign.py:662-673):
+       prob = prod_j max(1e-8, 1-corr_j)^2.9  (j = energy, zcr, band1)
+       keep if prob <= 1e-8 and max(corr_band2, corr_band3) >= band_gate
+       qual = min(50, (prob/1e-12)^(-1/3))
+   The band2/3 gate mirrors the reference's "matches >=1 of the band-2/3
+   hash dicts" condition (describealign.py:651-653).
+   Top-K candidates per audio frame stream out for the exact weighted-LIS.
+
+Everything is one jitted call per shape bucket; no host round-trips.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .preprocess import WINDOW, valid_audio_mask, valid_video_mask
+
+# --- geometry constants -----------------------------------------------------
+COARSE_STRIDE = 21          # frames between coarse descriptors (0.1 s)
+BLOCK = 210                 # audio frames per fine block (1 s)
+COARSE_PER_BLOCK = BLOCK // COARSE_STRIDE  # 10
+FINE_HALF_BAND = 279        # +/- band around coarse track (1.33 s)
+FINE_W = BLOCK + 2 * FINE_HALF_BAND        # 768 video window positions/block
+TOP_K = 8                   # candidates kept per audio frame
+
+# --- quality / DP constants -------------------------------------------------
+QUAL_PROB_CUTOFF = 1e-8     # reference 670
+QUAL_SCALE = 1e-12          # reference 672
+QUAL_MAX = 50.0             # reference 672
+NB_EXPONENT = 2.9           # reference 669
+BAND_GATE = 0.2             # gate threshold for band2/band3 agreement
+DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
+DP_JUMP_COST = 8.0          # cost of a free jump (skips/offsets)
+
+
+def _windows(x, start, count, width=WINDOW):
+    """(F, count, width) sliding windows of x[:, start + i + t]."""
+    seg = jax.lax.dynamic_slice_in_dim(x, start, count + width - 1, axis=1)
+    return jnp.stack([seg[:, t:t + count] for t in range(width)], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Coarse pass
+# ---------------------------------------------------------------------------
+
+def _coarse_descriptors(ms, norms, mask):
+    """Normalized, masked window descriptors at COARSE_STRIDE.
+
+    ms, norms: (3, N) f32; mask: (N,) bool (anchor eligibility).
+    Returns (K, 128) f32 with zero rows for invalid anchors.
+    """
+    n = ms.shape[1]
+    k = (n - WINDOW) // COARSE_STRIDE + 1
+    starts = np.arange(k) * COARSE_STRIDE
+    idx = starts[:, None] + np.arange(WINDOW)[None, :]          # (K, 41)
+    win = ms[:, idx]                                            # (3, K, 41)
+    nrm = norms[:, starts]                                      # (3, K)
+    desc = win / nrm[:, :, None]
+    desc = desc * mask[starts][None, :, None]
+    desc = jnp.moveaxis(desc, 0, 1).reshape(k, 3 * WINDOW)      # (K, 123)
+    return jnp.pad(desc, ((0, 0), (0, 128 - 3 * WINDOW)))
+
+
+def _skew_block_scores(desc_a, desc_v):
+    """Offset-space block score map P[b, o].
+
+    For each 1-second audio block b (COARSE_PER_BLOCK coarse rows), P[b, o]
+    is the best descriptor-correlation sum at video-minus-audio offset
+    (o - Ka) coarse steps. Shape (B, D) with D = Ka + Kv.
+    """
+    ka = desc_a.shape[0]
+    kv = desc_v.shape[0]
+    nb = ka // COARSE_PER_BLOCK
+    d_lanes = ka + kv
+
+    def step(_, b):
+        rows = jax.lax.dynamic_slice_in_dim(
+            desc_a, b * COARSE_PER_BLOCK, COARSE_PER_BLOCK, axis=0)
+        s = jnp.dot(rows, desc_v.T,
+                    preferred_element_type=jnp.float32)          # (10, Kv)
+        # shift row p left by p so lanes align at the block's first row
+        s = jnp.pad(s, ((0, 0), (0, COARSE_PER_BLOCK)))
+        aligned = jnp.stack(
+            [s[p, p:p + kv] for p in range(COARSE_PER_BLOCK)], axis=0)
+        block_best = jnp.max(aligned, axis=0)                    # (Kv,)
+        # global lane of local v-lane 0 is (Ka - k_block)
+        row = jnp.zeros((d_lanes,), jnp.float32)
+        row = jax.lax.dynamic_update_slice(
+            row, block_best, (ka - b * COARSE_PER_BLOCK,))
+        return None, row
+
+    _, p_map = jax.lax.scan(step, None, jnp.arange(nb))
+    return p_map                                                 # (B, D)
+
+
+def _coarse_dp(p_map):
+    """Monotone offset-track DP over the block score map (exact max-plus).
+
+    Transition from offset o' to o costs DP_SLOPE_COST*|o-o'|, capped by a
+    flat DP_JUMP_COST for arbitrary jumps (content skips / start offsets).
+    The |.| distance transform is computed exactly with two running cummax
+    passes. Returns the per-block offset lane (B,) i32 via backtrace.
+    """
+    nb, d = p_map.shape
+    lanes = jnp.arange(d, dtype=jnp.float32)
+
+    def relax(prev):
+        fwd = jax.lax.cummax(prev + DP_SLOPE_COST * lanes) - DP_SLOPE_COST * lanes
+        bwd = (jnp.flip(jax.lax.cummax(jnp.flip(prev - DP_SLOPE_COST * lanes)))
+               + DP_SLOPE_COST * lanes)
+        return jnp.maximum(jnp.maximum(fwd, bwd), jnp.max(prev) - DP_JUMP_COST)
+
+    def fwd_step(prev, p_row):
+        cur = relax(prev) + p_row
+        return cur, cur
+
+    init = jnp.zeros((d,), jnp.float32)
+    _, cost = jax.lax.scan(fwd_step, init, p_map)                # (B, D)
+
+    o_last = jnp.argmax(cost[-1])
+
+    def back_step(o_next, cost_prev):
+        moved = cost_prev - DP_SLOPE_COST * jnp.abs(
+            jnp.arange(d, dtype=jnp.float32) - o_next)
+        jumped = jnp.max(cost_prev) - DP_JUMP_COST
+        o_prev = jnp.where(jnp.max(moved) >= jumped,
+                           jnp.argmax(moved), jnp.argmax(cost_prev))
+        return o_prev, o_prev
+
+    _, path = jax.lax.scan(back_step, o_last, cost[:-1], reverse=True)
+    return jnp.concatenate([path, o_last[None]]).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fine pass
+# ---------------------------------------------------------------------------
+
+def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask, nv_pad,
+                b, center_frames):
+    """Candidates for one 210-frame audio block around a coarse center.
+
+    Returns (quals (BLOCK, TOP_K), vids (BLOCK, TOP_K)). qual == 0 marks an
+    invalid slot.
+    """
+    a0 = b * BLOCK
+    start = a0 + center_frames - FINE_HALF_BAND
+    start = jnp.clip(start, 0, nv_pad - (FINE_W + WINDOW - 1))
+
+    a_win = _windows(ms_a, a0, BLOCK)                # (5, 210, 41)
+    v_win = _windows(ms_v, start, FINE_W)            # (5, 768, 41)
+    dots = jnp.einsum('fld,fed->fle', a_win, v_win,
+                      preferred_element_type=jnp.float32)  # (5, 210, 768)
+
+    na = jax.lax.dynamic_slice_in_dim(norms_a, a0, BLOCK, axis=1)
+    nv = jax.lax.dynamic_slice_in_dim(norms_v, start, FINE_W, axis=1)
+    corr = dots / (na[:, :, None] * nv[:, None, :])
+
+    one_m = jnp.maximum(1e-8, 1.0 - corr[:3])        # reference 668
+    prob = jnp.prod(one_m, axis=0) ** NB_EXPONENT    # reference 669
+    band_ok = jnp.maximum(corr[3], corr[4]) >= BAND_GATE
+    qual = jnp.minimum(QUAL_MAX, (prob / QUAL_SCALE) ** (-1.0 / 3))
+
+    l_idx = jnp.arange(BLOCK)[:, None]
+    e_idx = jnp.arange(FINE_W)[None, :]
+    v_abs = start + e_idx                             # (1, 768)
+    in_band = (e_idx >= l_idx) & (e_idx <= l_idx + 2 * FINE_HALF_BAND)
+    am = jax.lax.dynamic_slice_in_dim(a_mask, a0, BLOCK)
+    vm = jax.lax.dynamic_slice_in_dim(v_mask, start, FINE_W)
+    valid = (in_band & am[:, None] & vm[None, :]
+             & (prob <= QUAL_PROB_CUTOFF) & band_ok)
+    qual = jnp.where(valid, qual, 0.0)
+
+    top_q, top_e = jax.lax.top_k(qual, TOP_K)         # (210, K)
+    top_v = start + top_e
+    return top_q, top_v.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Full matcher
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def match_pair(feats_a, norms_a, energy_a, len_a,
+               feats_v, norms_v, energy_v, len_v):
+    """All-in-one device matcher.
+
+    feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
+    energy_*: (Npad,) raw energy feature; len_*: true frame counts.
+
+    Returns (quals (B, 210, K), vids (B, 210, K), coarse_offset_frames (B,)).
+    """
+    nv_pad = feats_v.shape[1]
+    a_mask = valid_audio_mask(energy_a, len_a)
+    v_mask = valid_video_mask(energy_v, len_v)
+
+    desc_a = _coarse_descriptors(feats_a[:3], norms_a[:3], a_mask)
+    desc_v = _coarse_descriptors(feats_v[:3], norms_v[:3], v_mask)
+    p_map = _skew_block_scores(desc_a, desc_v)
+    lane_path = _coarse_dp(p_map)                     # (B,) lanes
+    ka = desc_a.shape[0]
+    center_frames = (lane_path - ka) * COARSE_STRIDE  # video-minus-audio, frames
+
+    def step(_, inp):
+        b, center = inp
+        q, v = _fine_block(feats_a, norms_a, feats_v, norms_v,
+                           a_mask, v_mask, nv_pad, b, center)
+        return None, (q, v)
+
+    nb = lane_path.shape[0]
+    _, (quals, vids) = jax.lax.scan(
+        step, None, (jnp.arange(nb), center_frames))
+    return quals, vids, center_frames

@@ -1,0 +1,51 @@
+"""Lazy builder/loader for the native host DP library (C++).
+
+The irregular dynamic programs (weighted LIS, pass-2 refinement DP) are
+host-side and latency-critical; they are implemented in C++
+(describealign_tpu/native/dp.cpp) and loaded via ctypes. The library is
+compiled on first use with g++ and cached next to the source. If no
+compiler is available the callers fall back to the Python implementations.
+"""
+import ctypes
+import os
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), '..', 'native')
+_SRC = os.path.abspath(os.path.join(_SRC_DIR, 'dp.cpp'))
+_OUT = os.path.abspath(os.path.join(_SRC_DIR, 'libdadp.so'))
+
+
+def _build():
+    cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', _OUT]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def native_lib():
+    """Return the loaded ctypes library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get('DESCRIBEALIGN_NO_NATIVE'):
+            return None
+        try:
+            if not os.path.exists(_SRC):
+                return None
+            if (not os.path.exists(_OUT)
+                    or os.path.getmtime(_OUT) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_OUT)
+            lib.weighted_lis.restype = ctypes.c_int
+            lib.refine_dp.restype = ctypes.c_int
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB

@@ -1,0 +1,197 @@
+"""Pass-2 refinement: colinear clustering, per-line refit, cluster-switch DP.
+
+Reference semantics (describealign.py:860-993):
+1. Group smooth-path points into colinear clusters keyed by
+   (round(slope, 6), round(offset)); merge clusters whose endpoints lie
+   within 3 frames of an existing cluster's line; keep clusters spanning
+   >10 frames with >5 points.
+2. Least-squares refit each cluster's line; apply a sub-frame offset
+   correction estimated from the feature time-derivative when it exceeds
+   8 sigma of noise.
+3. Score every audio frame in each cluster's (+/-30 s extended) range
+   against the video features interpolated along the line; build per-frame
+   candidate points.
+4. A second DP chooses among cluster lines with switch penalties
+   (-1000 global jump / -50 within-cluster / -100-100*d^2 local) to produce
+   the final path.
+
+The dense scoring in step 3 is vectorized numpy (it can move to JAX);
+the cluster bookkeeping and DP are host-side (native C++ planned), as the
+data structures are inherently irregular.
+"""
+from collections import defaultdict
+
+import numpy as np
+from sortedcontainers import SortedList
+
+EXTEND_RADIUS = 210 * 30
+
+
+def build_line_clusters(smooth_path, slopes):
+    """Steps 1-2a: colinear clustering + merge (reference 860-893)."""
+    slopes_plus_ends = np.hstack((slopes[:1], slopes, slopes[-1:]))
+    colinear = defaultdict(list)
+    for i, (px, py) in enumerate(smooth_path):
+        for slope in slopes_plus_ends[i:i + 2]:
+            if (slope < .1) or (slope > 10):
+                continue
+            offset = py - slope * px
+            colinear[(round(slope, 6), int(round(offset, 0)))].append((px, py))
+
+    line_clusters = []
+    added = set()
+    for (slope, offset), pts in sorted(colinear.items(),
+                                       key=lambda kv: -len(kv[1])):
+        if (slope, offset) in added:
+            continue
+        line_clusters.append(pts)
+        added.add((slope, offset))
+        del colinear[(slope, offset)]
+        for (slope2, offset2), pts2 in list(colinear.items()):
+            if (abs(pts2[0][1] - (pts2[0][0] * slope + offset)) < 3
+                    and abs(pts2[-1][1] - (pts2[-1][0] * slope + offset)) < 3):
+                line_clusters[-1].extend(colinear[(slope2, offset2)])
+                added.add((slope2, offset2))
+                del colinear[(slope2, offset2)]
+    line_clusters = [sorted(c) for c in line_clusters]
+    line_clusters = [c for c in line_clusters
+                     if (abs(c[0][0] - c[-1][0]) > 10) and len(c) > 5]
+
+    refit = []
+    for cluster in line_clusters:
+        cx, cy = np.array(cluster).T
+        design = np.hstack((np.ones((len(cx), 1)), cx[:, None]))
+        coef = np.linalg.lstsq(design, cy, rcond=None)[0]
+        refit.append((cx, coef[0], coef[1]))  # (x points, offset, slope)
+    return refit
+
+
+def _interp_video(video_scaled, yq):
+    """Linear interpolation of (Nv, 3) features at fractional rows yq."""
+    yq = np.asarray(yq)
+    lo = np.floor(yq).astype(np.int64)
+    lo = np.clip(lo, 0, len(video_scaled) - 2)
+    frac = (yq - lo)[:, None]
+    return video_scaled[lo] * (1 - frac) + video_scaled[lo + 1] * frac
+
+
+def build_points(line_clusters, audio_scaled, video_scaled):
+    """Steps 2b-3: offset correction + dense scoring (reference 895-944).
+
+    Returns points[i] = sorted list of (video_pos, cluster_index, qual) per
+    audio frame i.
+    """
+    na = len(audio_scaled)
+    nv = len(video_scaled)
+    audio_max_energy = np.max(audio_scaled[:, 0])
+    video_max_energy = np.max(video_scaled[:, 0])
+
+    def get_x_limits(cx, offset, slope, extend_horiz=EXTEND_RADIUS,
+                     buffer_vert=4):
+        limits = (max(int(cx[0]) - extend_horiz, 0),
+                  min(int(cx[-1]) + extend_horiz, na - 1))
+        limits = (max(limits[0], int(np.ceil((buffer_vert - offset) / slope))),
+                  min(limits[1],
+                      int(np.floor((nv - buffer_vert - offset) / slope))))
+        return limits
+
+    def get_matches(limits, slope, offset):
+        xs = np.arange(*limits)
+        ys = slope * xs + offset
+        return xs, ys, audio_scaled[slice(*limits)], _interp_video(video_scaled, ys)
+
+    points = [[] for _ in range(na)]
+    seen = set()
+    for cluster_index, (cx, offset, slope) in enumerate(line_clusters):
+        limits = get_x_limits(cx, offset, slope, extend_horiz=0)
+        if limits[1] < limits[0] + 5:
+            continue
+        if limits[1] > limits[0] + 100:
+            # sub-frame offset correction via the feature time-derivative
+            xs, ys, audio_match, video_match = get_matches(limits, slope, offset)
+            err = audio_match[1:-1] - video_match[1:-1]
+            valid = np.mean(err, axis=-1) < 0.1
+            if np.count_nonzero(valid) > 50:
+                vdiff = (video_match[2:] - video_match[:-2]) / 2.
+                err_v = err[valid]
+                vdiff_v = vdiff[valid]
+                design = vdiff_v.reshape(-1, 1)
+                lin_fit, residual, _, _ = np.linalg.lstsq(
+                    design, err_v.flatten(), rcond=None)
+                if residual.size:
+                    explained = 1 - (residual / np.sum(err_v ** 2))
+                    stds_above = np.sqrt(explained * np.prod(err_v.shape)) - 1.
+                    if stds_above > 8 and abs(lin_fit[0]) < 2:
+                        offset += lin_fit[0]
+        limits = get_x_limits(cx, offset, slope)
+        xs, ys, audio_match, video_match = get_matches(limits, slope, offset)
+        quals = np.sum(-.5 - np.log10(1e-4 + np.abs(audio_match - video_match)),
+                       axis=1)
+        quals *= np.clip(video_match[:, 0] + 2.5 - video_max_energy, 0, 1)
+        quals += np.clip(audio_match[:, 0] + 2.5 - audio_max_energy, 0, 1) * .1
+        for i, j, qual in zip(xs.tolist(), ys.tolist(), quals.tolist()):
+            point = (i, int(j))
+            if point not in seen:
+                seen.add(point)
+                points[i].append((j, cluster_index, qual))
+    return [sorted(p) for p in points]
+
+
+def refine_dp_py(points, num_clusters, num_video):
+    """Step 4: the cluster-switch DP (reference 946-983), Python version.
+
+    Returns the path as an (M, 5) float array of
+    (video, audio, cluster_index, qual, cum_qual) rows.
+    """
+    import itertools
+    best = SortedList(key=lambda t: t[0])
+    best.add((0, 0, -1, 0, 0))
+    clusters_best = [(0, 0, 0, -1000)] * num_clusters
+    backptr = {}
+    prev_cache = np.full((num_video, 5), -np.inf)
+    prev_cache[0] = (0, 0, -1, 0, 0)
+    rev_min = [min(p)[0] if len(p) > 0 else np.inf for p in points[::-1]]
+    forward_min = list(itertools.accumulate(rev_min, min))[::-1]
+
+    for i in range(len(points)):
+        for j, cluster_index, qual in points[i]:
+            cur = best.bisect_right((j,))
+            prev_j, prev_i, prev_cluster, prev_qual, best_cum = best[cur - 1]
+            cluster_last = clusters_best[cluster_index]
+            if cluster_last[3] >= best_cum:
+                prev_j, prev_i, prev_qual, best_cum = cluster_last
+                prev_cluster = cluster_index
+            for pj in range(max(0, int(j) - 2), int(j) + 1):
+                node = prev_cache[pj].tolist()
+                if cluster_index != node[2]:
+                    node[4] -= 100 + 100 * ((j - node[0]) - (i - node[1])) ** 2
+                if node[1] >= (i - 2) and node[0] <= j and node[4] >= best_cum:
+                    prev_j, prev_i, prev_cluster, prev_qual, best_cum = node
+            cum = best_cum + qual
+            prev_cache[int(j)] = (j, i, cluster_index, qual, cum)
+            cum_jump = cum - 1000
+            if best[cur - 1][4] < cum_jump:
+                while cur < len(best) and best[cur][4] <= cum_jump:
+                    del best[cur]
+                best.add((j, i, cluster_index, qual, cum_jump))
+            if forward_min[i] == j and cur > 1:
+                del best[:cur - 1]
+            cum_cluster = cum - 50
+            if cluster_last[3] < cum_cluster:
+                clusters_best[cluster_index] = (j, i, qual, cum_cluster)
+            backptr[(j, i)] = (prev_j, prev_i, prev_cluster, prev_qual, best_cum)
+
+    path = [tuple(best[-1])]
+    while path[-1][:2] in backptr:
+        path.append(backptr[path[-1][:2]])
+    path.pop()
+    path.reverse()
+    return np.array(path, dtype=np.float64)
+
+
+def refine_dp(points, num_clusters, num_video):
+    """Dispatch to the native DP when available (falls back to Python)."""
+    from .refine_native import refine_dp_native_available, refine_dp_native
+    if refine_dp_native_available():
+        return refine_dp_native(points, num_clusters, num_video)
+    return refine_dp_py(points, num_clusters, num_video)

@@ -1,0 +1,202 @@
+"""combine(): the main user-facing pipeline.
+
+Orchestration contract follows the reference combine()
+(describealign.py:1031-1175): file discovery/pairing confirmation, per-pair
+decode -> features -> align -> (video retime | audio stretch) -> mux ->
+plot/report, with the same prints, warnings, skip/resume rule, and defaults.
+
+TPU specifics: PCM is zero-padded to 60-second buckets before feature
+extraction so XLA compiles a handful of shapes (cached persistently) instead
+of one per media length; true lengths ride alongside and mask the padding.
+"""
+import os
+
+import numpy as np
+
+from .constants import (AUDIO_EXTENSIONS, AUDIO_SAMPLE_RATE,
+                        DEFAULT_ALIGNMENT_DIR, DEFAULT_OUTPUT_DIR,
+                        IS_RUNNING_WINDOWS, PLOT_ALIGNMENT_TO_FILE,
+                        VIDEO_EXTENSIONS)
+from .utils.files import ensure_folders_exist, get_sorted_filenames
+
+PCM_BUCKET_SECONDS = 60
+
+
+def _pad_pcm(pcm):
+    quantum = AUDIO_SAMPLE_RATE * PCM_BUCKET_SECONDS
+    s = pcm.shape[1]
+    pad = (-s) % quantum
+    if pad == 0:
+        return pcm
+    return np.pad(pcm, ((0, 0), (0, pad)))
+
+
+def _features_for(pcm):
+    """Bucketed feature extraction; returns (feature list, true frame count)."""
+    from .ops.features import extract_features
+    true_samples = pcm.shape[1]
+    feats = extract_features(_pad_pcm(pcm))
+    return [np.asarray(f) for f in feats], true_samples // 210
+
+
+def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
+            no_pitch_correction=False, output_dir=DEFAULT_OUTPUT_DIR,
+            alignment_dir=DEFAULT_ALIGNMENT_DIR):
+    """Combine videos with matching audio description files.
+
+    Same public behavior as the reference's documented module API
+    (reference README.md:136-140).
+    """
+    from . import __version__
+    from .alignment.api import align
+    from .media.decode import parse_audio_from_file
+    from .media.ffmpeg import is_ffmpeg_installed
+    from .media.mux import encode_fit_as_ffmpeg_expr, write_replaced_media_to_disk
+    from .media.probe import get_closest_key_frame_time
+    from .report.plots import plot_alignment
+
+    video_files, has_audio_extensions = get_sorted_filenames(
+        video, VIDEO_EXTENSIONS, AUDIO_EXTENSIONS)
+    if yes is False and sum(has_audio_extensions) > 0:
+        print("")
+        print("One or more audio files found in video input. Was this intentional?")
+        print("If not, press ctrl+c to kill this script.")
+        input("If this was intended, press Enter to continue...")
+        print("")
+    audio_desc_files, _ = get_sorted_filenames(audio, AUDIO_EXTENSIONS)
+    if len(video_files) != len(audio_desc_files):
+        error_msg = ["Number of valid files in input paths are not the same.",
+                     f"The video path has {len(video_files)} files",
+                     f"The audio path has {len(audio_desc_files)} files"]
+        raise RuntimeError("\n".join(error_msg))
+
+    print("")
+    ensure_folders_exist([output_dir])
+    if PLOT_ALIGNMENT_TO_FILE:
+        ensure_folders_exist([alignment_dir])
+
+    print("")
+    for video_file, audio_desc_file in zip(video_files, audio_desc_files):
+        print(os.path.split(video_file)[1])
+        print(os.path.split(audio_desc_file)[1])
+        print("")
+    if yes is False:
+        print("Are the above input file pairings correct?")
+        print("If not, press ctrl+c to kill this script.")
+        input("If they are correct, press Enter to continue...")
+        print("")
+
+    if not is_ffmpeg_installed():
+        # unlike the reference we cannot fetch binaries in a hermetic env;
+        # static_ffmpeg is attempted inside the discovery path when present
+        raise RuntimeError(
+            "ffmpeg/ffprobe not found. Install ffmpeg or set "
+            "DESCRIBEALIGN_FFMPEG / DESCRIBEALIGN_FFPROBE.")
+
+    print(f"Processing files with v{__version__}:")
+
+    for (video_file, audio_desc_file, has_audio_extension) in zip(
+            video_files, audio_desc_files, has_audio_extensions):
+        output_filename = prepend + os.path.split(video_file)[1]
+        output_filename = os.path.join(output_dir, output_filename)
+        print(f" {output_filename}")
+
+        if (not stretch_audio) & bool(has_audio_extension):
+            raise RuntimeError(
+                "Argument --stretch_audio is required when both inputs are "
+                "audio files.")
+
+        # batch-level resume: skip pairs whose output already exists
+        if (os.path.exists(output_filename)
+                and os.path.getsize(output_filename) > 1e5):
+            print("   output file already exists, skipping...")
+            continue
+
+        full_output_filename = os.path.abspath(output_filename)
+        if IS_RUNNING_WINDOWS and len(full_output_filename) >= 260:
+            print("  WARNING: very long output path, ffmpeg may fail...")
+
+        num_channels = 2 if stretch_audio else 1
+        print("  reading video file...\r", end='')
+        video_arr = parse_audio_from_file(video_file, num_channels)
+
+        print("  computing video features... \r", end='')
+        video_features, video_frames = _features_for(video_arr)
+        if not stretch_audio:
+            del video_arr
+
+        print("  reading audio file...       \r", end='')
+        audio_desc_arr = parse_audio_from_file(audio_desc_file, num_channels)
+
+        print("  computing audio features...\r", end='')
+        audio_desc_features, audio_frames = _features_for(audio_desc_arr)
+        if not stretch_audio:
+            del audio_desc_arr
+
+        outputs = align(video_features, audio_desc_features,
+                        video_features[0], audio_desc_features[0],
+                        video_frames=video_frames, audio_frames=audio_frames)
+        audio_desc_times, video_times, similarity_percent, path, median_slope \
+            = outputs
+        del video_features, audio_desc_features
+
+        if similarity_percent < 20:
+            print(f"  WARNING: similarity {similarity_percent:.1f}%, "
+                  f"likely mismatched files")
+        if similarity_percent > 90:
+            print(f"  WARNING: similarity {similarity_percent:.1f}%, "
+                  f"likely undescribed media")
+        if (median_slope < .1) or (median_slope > 10):
+            print("  WARNING: median slope estimation failed, output "
+                  "subtitles may be misaligned")
+            median_slope = 1.
+
+        if stretch_audio:
+            from .stretch.segments import replace_aligned_segments
+
+            def low_ram_std(arr):
+                avg = np.mean(arr, dtype=np.float64)
+                return np.sqrt(np.einsum('ij,ij->i', arr, arr,
+                                         dtype=np.float64) / arr.size
+                               - avg ** 2)
+
+            # rescale RMS intensity of audio to match video; only ever scale
+            # the louder one down to avoid overflow (reference 1141-1148)
+            scale_factor = low_ram_std(video_arr) / low_ram_std(audio_desc_arr)
+            for ch, ch_scale in enumerate(scale_factor):
+                if ch_scale > 1:
+                    video_arr[ch] /= ch_scale
+                else:
+                    audio_desc_arr[ch] *= ch_scale
+
+            replace_aligned_segments(video_arr, audio_desc_arr,
+                                     audio_desc_times, video_times,
+                                     no_pitch_correction)
+            del audio_desc_arr
+            video_arr *= (2 ** 15 - 2.) / np.max(np.abs(video_arr))
+
+            print("  processing output file...                   \r", end='')
+            ffmpeg_command = write_replaced_media_to_disk(
+                output_filename, video_arr,
+                None if has_audio_extension else video_file,
+                median_slope=median_slope)
+            del video_arr
+        else:
+            video_offset = video_times[0] - audio_desc_times[0]
+            after_start_key_frame = get_closest_key_frame_time(video_file,
+                                                               video_offset)
+            print("  processing output file...                   \r", end='')
+            setts_cmd = encode_fit_as_ffmpeg_expr(audio_desc_times,
+                                                  video_times, video_offset)
+            ffmpeg_command = write_replaced_media_to_disk(
+                output_filename, None, video_file, audio_desc_file, setts_cmd,
+                video_offset, after_start_key_frame, median_slope=median_slope)
+
+        if PLOT_ALIGNMENT_TO_FILE:
+            plot_filename_no_ext = os.path.join(
+                alignment_dir,
+                os.path.splitext(os.path.split(video_file)[1])[0])
+            plot_alignment(plot_filename_no_ext, path, audio_desc_times,
+                           video_times, similarity_percent, median_slope,
+                           stretch_audio, no_pitch_correction, ffmpeg_command)
+    print("All files processed.       ")

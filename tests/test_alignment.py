@@ -1,0 +1,59 @@
+"""End-to-end alignment tests on synthetic pairs with known ground truth."""
+import numpy as np
+import pytest
+
+from describealign_tpu.ops.features import extract_features
+from describealign_tpu.alignment.api import align
+from tests.synth import build_pair, mapping_from_segments
+
+
+def features_of(pcm):
+    return [np.asarray(f) for f in extract_features(pcm)]
+
+
+def run_align(video_pcm, audio_pcm, **kwargs):
+    vf = features_of(video_pcm)
+    af = features_of(audio_pcm)
+    return align(vf, af, vf[0], af[0], **kwargs)
+
+
+def check_mapping(audio_times, video_times, segments, tol=0.25):
+    """Fit must map interior content points to ground truth within tol s."""
+    truth = mapping_from_segments(segments)
+    for (a0, a1, v0, v1) in segments:
+        probes = np.linspace(a0 + 1.0, a1 - 1.0, 7)
+        got = np.interp(probes, audio_times, video_times)
+        want = truth(probes)
+        np.testing.assert_allclose(got, want, atol=tol)
+
+
+def test_align_offset_only():
+    """Description = content with a 6 s narration lead-in."""
+    video, audio, segments = build_pair(content_seconds=40.0, narration=(),
+                                        lead_in=6.0, seed=3)
+    x, y, similarity, path, median_slope = run_align(video, audio)
+    check_mapping(x, y, segments)
+    assert similarity > 60
+    assert abs(median_slope - 1.0) < 0.01
+
+
+def test_align_with_insertions():
+    """Two narration insertions create three content segments."""
+    video, audio, segments = build_pair(
+        content_seconds=45.0, narration=((15.0, 3.0), (30.0, 4.0)),
+        lead_in=0.0, seed=7)
+    x, y, similarity, path, median_slope = run_align(video, audio)
+    check_mapping(x, y, segments)
+    assert similarity > 55
+    assert abs(median_slope - 1.0) < 0.01
+
+
+def test_align_mismatched_raises():
+    """Unrelated content must fail alignment, like the reference does."""
+    # reuse the dims of test_align_offset_only so compiled shapes are cached
+    video, _, _ = build_pair(content_seconds=40.0, narration=(), lead_in=6.0,
+                             seed=11)
+    _, audio, _ = build_pair(content_seconds=40.0, narration=(), lead_in=6.0,
+                             seed=99)
+    with pytest.raises(RuntimeError, match="mismatched"):
+        run_align(video, audio)
