@@ -22,21 +22,29 @@ def weighted_lis_py(audio_idx, video_idx, qual):
 
     Returns (video_path, audio_path) int64 arrays (increasing audio order).
     """
+    # entries: (video, cum_qual, node_id); node-id backpointers cannot cycle
+    # even on duplicate (video, audio) keys (the reference's dict-keyed walk
+    # relies on unique keys and a 1e8 failsafe, describealign.py:691-694)
     best = SortedList(key=lambda t: t[0])
-    best.add((-1, -1, 0.0))
-    backptr = {}
+    best.add((-1, 0.0, 0))
+    nodes_v = [-1]
+    nodes_a = [-1]
+    nodes_prev = [-1]
     for v, i, q in zip(video_idx.tolist(), audio_idx.tolist(), qual.tolist()):
         cur = best.bisect_right((v,))
-        prev_v, prev_i, prev_cum = best[cur - 1]
+        _, prev_cum, prev_node = best[cur - 1]
         cum = prev_cum + q
-        while cur < len(best) and best[cur][2] <= cum:
+        while cur < len(best) and best[cur][1] <= cum:
             del best[cur]
-        best.add((v, i, cum))
-        backptr[(v, i)] = (prev_v, prev_i)
-    path = [best[-1][:2]]
-    while path[-1] in backptr:
-        path.append(backptr[path[-1]])
-    path.pop()  # drop the (-1, -1) sentinel
+        nodes_v.append(v)
+        nodes_a.append(i)
+        nodes_prev.append(prev_node)
+        best.add((v, cum, len(nodes_v) - 1))
+    path = []
+    node = best[-1][2]
+    while node != 0:
+        path.append((nodes_v[node], nodes_a[node]))
+        node = nodes_prev[node]
     path.reverse()
     arr = np.array(path, dtype=np.int64).reshape(-1, 2)
     return arr[:, 0], arr[:, 1]

@@ -53,6 +53,13 @@ def write_replaced_media_to_disk(output_filename, media_arr, video_file=None,
         # --- stretch_audio mode: pipe the replaced PCM in as the new track ---
         pipe_in = ['-f', 's16le', '-acodec', 'pcm_s16le', '-ac', '2',
                    '-ar', str(AUDIO_SAMPLE_RATE), '-i', 'pipe:']
+        if video_file is None and str(output_filename).lower().endswith('.wav'):
+            # audio-in/audio-out: the built-in WAV codec needs no ffmpeg
+            from .ffmpeg import is_ffmpeg_installed
+            if not is_ffmpeg_installed():
+                from .decode import write_wav
+                write_wav(output_filename, media_arr)
+                return f"<built-in wav writer> {output_filename}"
         if video_file is None:
             # input "video" was itself an audio file; output plain audio
             args = pipe_in + ['-loglevel', 'error', '-y', str(output_filename)]

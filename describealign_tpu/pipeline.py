@@ -86,9 +86,13 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
         input("If they are correct, press Enter to continue...")
         print("")
 
-    if not is_ffmpeg_installed():
-        # unlike the reference we cannot fetch binaries in a hermetic env;
-        # static_ffmpeg is attempted inside the discovery path when present
+    # all-WAV stretch jobs run entirely on the built-in codec; everything
+    # else needs ffmpeg binaries (which, unlike the reference, we cannot
+    # download in a hermetic env - static_ffmpeg is attempted if importable)
+    all_wav = (all(f.lower().endswith('.wav') for f in video_files)
+               and all(f.lower().endswith('.wav') for f in audio_desc_files)
+               and stretch_audio)
+    if not is_ffmpeg_installed() and not all_wav:
         raise RuntimeError(
             "ffmpeg/ffprobe not found. Install ffmpeg or set "
             "DESCRIBEALIGN_FFMPEG / DESCRIBEALIGN_FFPROBE.")

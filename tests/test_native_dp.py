@@ -1,0 +1,77 @@
+"""Native (C++) vs Python DP equivalence on randomized inputs."""
+import numpy as np
+import pytest
+
+from describealign_tpu.alignment import lis, refine
+from describealign_tpu.alignment.native import native_lib
+from describealign_tpu.alignment.refine_native import (refine_dp_native,
+                                                       refine_dp_native_available)
+
+pytestmark = pytest.mark.skipif(native_lib() is None,
+                                reason="native library unavailable")
+
+
+def random_candidates(rng, n_frames=400, density=3, band=40):
+    rows = []
+    center = rng.integers(0, band)
+    for i in range(n_frames):
+        center = min(max(center + rng.integers(-2, 3), 0), band)
+        for _ in range(rng.poisson(density)):
+            v = i + int(rng.integers(-band, band + 1))
+            if v < 0:
+                continue
+            rows.append((i, v, float(rng.uniform(0.05, 50.0))))
+    rows.sort()
+    a = np.array([r[0] for r in rows], np.int64)
+    v = np.array([r[1] for r in rows], np.int64)
+    q = np.array([r[2] for r in rows], np.float64)
+    return a, v, q
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+def test_weighted_lis_native_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    a, v, q = random_candidates(rng)
+    v_py, a_py = lis.weighted_lis_py(a, v, q)
+    v_cc, a_cc = lis.weighted_lis_native(a, v, q)
+    np.testing.assert_array_equal(v_py, v_cc)
+    np.testing.assert_array_equal(a_py, a_cc)
+
+
+def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
+    """Cluster-shaped candidate points like pass 2 produces.
+
+    Total qual must clear the DP's 1000-point jump threshold (reference
+    973) for any path to be emitted at all - just like real media.
+    """
+    # like build_points: every audio frame inside a cluster's extended range
+    # gets a point on that cluster's line (no gaps); quals are high inside
+    # the truly-matching span and low elsewhere
+    lines = []
+    for c in range(n_clusters):
+        span = (c * n_audio // n_clusters, (c + 1) * n_audio // n_clusters)
+        lines.append((rng.uniform(0.95, 1.05), rng.uniform(0, 60), span))
+    points = [[] for _ in range(n_audio)]
+    for i in range(n_audio):
+        for c, (slope, off, span) in enumerate(lines):
+            j = slope * i + off
+            if 0 <= j < n_video - 1:
+                inside = span[0] <= i < span[1]
+                q = rng.uniform(2.0, 8.0) if inside else rng.uniform(-1.0, 0.5)
+                points[i].append((float(j), c, float(q)))
+        points[i].sort()
+    return points
+
+
+@pytest.mark.parametrize('seed', [10, 11, 12])
+def test_refine_dp_native_matches_python(seed):
+    assert refine_dp_native_available()
+    rng = np.random.default_rng(seed)
+    points = random_points(rng)
+    path_py = refine.refine_dp_py(points, 4, 1300)
+    path_cc = refine_dp_native(points, 4, 1300)
+    assert len(path_py) > 100
+    assert path_py.shape == path_cc.shape
+    # cum column may differ on the final (jump-penalized) entry; compare the
+    # semantic columns
+    np.testing.assert_allclose(path_py[:, :4], path_cc[:, :4], rtol=1e-12)
