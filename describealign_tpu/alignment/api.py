@@ -44,7 +44,7 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     """video_frames/audio_frames: true 210fps frame counts when the feature
     arrays carry zero-padding (bucketed extraction); default = array length."""
     fit_backend = fit_backend or os.environ.get(
-        'DESCRIBEALIGN_FIT_BACKEND', 'highs')
+        'DESCRIBEALIGN_FIT_BACKEND', 'native')
 
     na = min(len(f) for f in audio_desc_features)
     nv = min(len(f) for f in video_features)
@@ -74,7 +74,7 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
         np.asarray(x, np.float64), np.asarray(y, np.float64))
 
     # least-squares gain match of video features to the audio's scale
-    # (reference 733-741)
+    # (reference 733-741); the (N,1) lstsq reduces to a ratio of dots
     audio_scaled_list, video_scaled_list = [], []
     yi = y.astype(np.int64)
     xi = x.astype(np.int64)
@@ -82,11 +82,12 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
         vf = np.asarray(vf[:nv], np.float64)
         af = np.asarray(af[:na], np.float64)
         af_std = np.std(af)
-        scale = np.linalg.lstsq(vf[yi][:, None], af[xi], rcond=None)[0]
+        vy = vf[yi]
+        scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
         audio_scaled_list.append(af / af_std)
-        video_scaled_list.append(vf * scale / af_std)
-    audio_scaled = np.array(list(zip(*(audio_scaled_list[:3]))))
-    video_scaled = np.array(list(zip(*(video_scaled_list[:3]))))
+        video_scaled_list.append(vf * (scale / af_std))
+    audio_scaled = np.stack(audio_scaled_list[:3], axis=1)
+    video_scaled = np.stack(video_scaled_list[:3], axis=1)
 
     cx, cy = continuity.compress_path(x, y)
     fit_result = fit.solve_l1_fit(cx, cy, backend=fit_backend)
@@ -94,8 +95,11 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
 
     print("  refining match: pass 2 of 2...\r", end='')
     clusters = refine.build_line_clusters(smooth_path, fit_result['slopes'])
-    points = refine.build_points(clusters, audio_scaled, video_scaled)
-    path = refine.refine_dp(points, len(clusters), len(video_scaled))
+    pj, pc, pq, offsets = refine.build_points_flat(clusters, audio_scaled,
+                                                   video_scaled)
+    from .refine_native import refine_dp_flat
+    path = refine_dp_flat(pj, pc, pq, offsets, len(clusters),
+                          len(video_scaled))
     _fail_if_short(len(path), nv, na)
 
     audio_times, video_times, similarity_percent, path_s = \

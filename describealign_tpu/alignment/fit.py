@@ -13,10 +13,11 @@ discontinuous anyway), s_i is a +/-2-bounded "shot noise" state (L1 cost
 |u_{i+1} - u_i| that makes rate changes sparse).
 
 Two backends:
-- 'highs': the exact LP via scipy.optimize.linprog (dual simplex with
-  interior-point fallback), matching the reference solver bit-for-bit.
-- 'admm': an on-device JAX ADMM solver exploiting the fused-lasso structure
-  (see fit_admm.py) - the TPU-native default path.
+- 'native' (default): exact cascaded fused-lasso solve through the native
+  clipped-derivative DP (fit_tv.py + native/dp.cpp) - no scipy/HiGHS
+  dependency on the hot path.
+- 'highs': the reference's exact LP via scipy.optimize.linprog (dual
+  simplex with interior-point fallback) - the cross-check oracle.
 
 Outputs: fit_err (N), slopes (N-1), median_slope, smooth_path y - fit_err.
 """
@@ -51,9 +52,9 @@ def solve_l1_fit(x, y, backend='highs'):
     y = np.asarray(y, np.float64)
     if backend == 'highs':
         return _solve_linprog(x, y)
-    elif backend == 'admm':
-        from .fit_admm import solve_l1_fit_admm
-        return solve_l1_fit_admm(x, y)
+    elif backend in ('native', 'device', 'tv'):
+        from .fit_tv import solve_l1_fit_tv
+        return solve_l1_fit_tv(x, y)
     raise ValueError(f"unknown fit backend: {backend}")
 
 

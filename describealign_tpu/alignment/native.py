@@ -45,6 +45,7 @@ def native_lib():
             lib = ctypes.CDLL(_OUT)
             lib.weighted_lis.restype = ctypes.c_int
             lib.refine_dp.restype = ctypes.c_int
+            lib.tv1d_weighted.restype = ctypes.c_int
             _LIB = lib
         except Exception:
             _LIB = None

@@ -34,9 +34,8 @@ def mean_sub_taps(dtype=np.float32):
 
 def local_mean_subtract(feature):
     """feature - hann41-smoothed local mean (reference 596-606)."""
-    taps = jnp.asarray(mean_sub_taps())
-    mean = jnp.convolve(taps, feature.astype(jnp.float32), mode='same',
-                        precision=_PRECISION)[:feature.shape[0]]
+    from ..ops.features import _conv_same
+    mean = _conv_same(feature, mean_sub_taps())
     return feature.astype(jnp.float32) - mean
 
 
@@ -46,10 +45,15 @@ def uniform_norm(feature_ms):
     Same-length output: entry i is the norm of frames [i, i+41); the last 40
     entries (incomplete windows in the reference's 'valid' mode) are padded
     with the clip floor and are never used (masks exclude them).
+    Shift-add instead of conv (TPU 1-D conv layout pads x128, see
+    ops/features._conv_same).
     """
     sq = feature_ms ** 2
-    ones = jnp.ones((WINDOW,), jnp.float32)
-    window_sums = jnp.convolve(ones, sq, mode='valid', precision=_PRECISION)
+    n = sq.shape[0] - (WINDOW - 1)
+    window_sums = None
+    for m in range(WINDOW):
+        term = sq[m:m + n]
+        window_sums = term if window_sums is None else window_sums + term
     norms = jnp.clip(window_sums ** 0.5, 0.001, None)
     return jnp.pad(norms, (0, WINDOW - 1), constant_values=0.001)
 

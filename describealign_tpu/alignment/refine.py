@@ -137,6 +137,92 @@ def build_points(line_clusters, audio_scaled, video_scaled):
     return [sorted(p) for p in points]
 
 
+def build_points_flat(line_clusters, audio_scaled, video_scaled):
+    """Vectorized build_points producing flat arrays for the native DP.
+
+    Returns (pj, pc, pq, offsets): per-frame candidate points sorted by
+    (audio frame, video pos, cluster, qual) with offsets[i]..offsets[i+1]
+    indexing frame i's points. Semantics identical to build_points
+    (first-processed cluster wins duplicate (frame, int(video)) points).
+    """
+    na = len(audio_scaled)
+    nv = len(video_scaled)
+    audio_max_energy = np.max(audio_scaled[:, 0])
+    video_max_energy = np.max(video_scaled[:, 0])
+
+    all_i, all_j, all_c, all_q = [], [], [], []
+    for cluster_index, (cx, offset, slope) in enumerate(line_clusters):
+        limits = _cluster_limits(cx, offset, slope, na, nv, extend_horiz=0)
+        if limits[1] < limits[0] + 5:
+            continue
+        if limits[1] > limits[0] + 100:
+            offset = _offset_correction(limits, slope, offset,
+                                        audio_scaled, video_scaled)
+        limits = _cluster_limits(cx, offset, slope, na, nv)
+        xs = np.arange(*limits)
+        ys = slope * xs + offset
+        audio_match = audio_scaled[slice(*limits)]
+        video_match = _interp_video(video_scaled, ys)
+        quals = np.sum(-.5 - np.log10(1e-4 + np.abs(audio_match - video_match)),
+                       axis=1)
+        quals *= np.clip(video_match[:, 0] + 2.5 - video_max_energy, 0, 1)
+        quals += np.clip(audio_match[:, 0] + 2.5 - audio_max_energy, 0, 1) * .1
+        all_i.append(xs)
+        all_j.append(ys)
+        all_c.append(np.full(len(xs), cluster_index, np.int64))
+        all_q.append(quals)
+    if not all_i:
+        return (np.empty(0), np.empty(0, np.int64), np.empty(0),
+                np.zeros(na + 1, np.int64))
+    pi = np.concatenate(all_i).astype(np.int64)
+    pj = np.concatenate(all_j)
+    pc = np.concatenate(all_c)
+    pq = np.concatenate(all_q)
+    # dedupe (frame, int(video)) keeping the first occurrence in cluster
+    # processing order (np.unique's return_index is the smallest index)
+    keys = pi * np.int64(nv + 2) + pj.astype(np.int64)
+    _, first = np.unique(keys, return_index=True)
+    pi, pj, pc, pq = pi[first], pj[first], pc[first], pq[first]
+    order = np.lexsort((pq, pc, pj, pi))
+    pi, pj, pc, pq = pi[order], pj[order], pc[order], pq[order]
+    offsets = np.zeros(na + 1, np.int64)
+    np.cumsum(np.bincount(pi, minlength=na), out=offsets[1:])
+    return pj, pc, pq, offsets
+
+
+def _cluster_limits(cx, offset, slope, na, nv, extend_horiz=EXTEND_RADIUS,
+                    buffer_vert=4):
+    limits = (max(int(cx[0]) - extend_horiz, 0),
+              min(int(cx[-1]) + extend_horiz, na - 1))
+    return (max(limits[0], int(np.ceil((buffer_vert - offset) / slope))),
+            min(limits[1],
+                int(np.floor((nv - buffer_vert - offset) / slope))))
+
+
+def _offset_correction(limits, slope, offset, audio_scaled, video_scaled):
+    """Sub-frame offset correction via the feature time-derivative
+    (reference 916-930); returns the possibly-adjusted offset."""
+    xs = np.arange(*limits)
+    ys = slope * xs + offset
+    audio_match = audio_scaled[slice(*limits)]
+    video_match = _interp_video(video_scaled, ys)
+    err = audio_match[1:-1] - video_match[1:-1]
+    valid = np.mean(err, axis=-1) < 0.1
+    if np.count_nonzero(valid) > 50:
+        vdiff = (video_match[2:] - video_match[:-2]) / 2.
+        err_v = err[valid]
+        vdiff_v = vdiff[valid]
+        design = vdiff_v.reshape(-1, 1)
+        lin_fit, residual, _, _ = np.linalg.lstsq(design, err_v.flatten(),
+                                                  rcond=None)
+        if residual.size:
+            explained = 1 - (residual / np.sum(err_v ** 2))
+            stds_above = np.sqrt(explained * np.prod(err_v.shape)) - 1.
+            if stds_above > 8 and abs(lin_fit[0]) < 2:
+                return offset + lin_fit[0]
+    return offset
+
+
 def refine_dp_py(points, num_clusters, num_video):
     """Step 4: the cluster-switch DP (reference 946-983), Python version.
 

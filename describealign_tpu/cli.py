@@ -61,9 +61,10 @@ def command_line_interface(argv=None):
     parser.add_argument('--version', action='store_true',
                         help='Checks and prints the installed version.')
     parser.add_argument('--fit_backend', default=None,
-                        choices=['admm', 'highs'],
-                        help='Piecewise-linear fit solver: "admm" (on-device, '
-                             'default) or "highs" (host LP).')
+                        choices=['native', 'highs'],
+                        help='Piecewise-linear fit solver: "native" (exact '
+                             'fused-lasso cascade, default) or "highs" '
+                             '(scipy LP cross-check).')
     args = parser.parse_args(argv[1:])
 
     if args.version:

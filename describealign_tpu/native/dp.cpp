@@ -196,4 +196,115 @@ int refine_dp(const double* pj, const int64_t* pc, const double* pq,
   return 0;
 }
 
+// --------------------------------------------------------------------------
+// exact weighted 1-D fused lasso (TV) with L2 data term
+// --------------------------------------------------------------------------
+//   minimize  .5*sum_i w_i (theta_i - r_i)^2 + sum_k kappa_k |theta_{k+1}-theta_k|
+//
+// Johnson-style dynamic programming on the message derivative: f'_k(theta)
+// is non-decreasing piecewise linear; each step clips it to
+// [-kappa_k, +kappa_k] (recording clip positions for backtracking) and adds
+// the next quadratic's derivative w*(theta - r). The derivative is stored
+// explicitly as knots (x_j, f'(x_j)) with linear tails of slopes (sl, sr).
+// O(N * knots) worst case - ample for the few-thousand-node fit paths.
+// Replaces the reference's scipy linprog for the fused-lasso subproblems.
+int tv1d_weighted(const double* r, const double* w, const double* kappa,
+                  int64_t n, double* theta) {
+  if (n <= 0) return 1;
+  if (n == 1) { theta[0] = r[0]; return 0; }
+  std::vector<double> xs, vs;     // knots of f'
+  xs.reserve(2 * n); vs.reserve(2 * n);
+  xs.push_back(r[0]); vs.push_back(0.0);
+  double sl = w[0], sr = w[0];    // tail slopes
+  std::vector<double> clip_lo(n - 1), clip_hi(n - 1);
+
+  for (int64_t k = 0; k < n - 1; ++k) {
+    const double kap = kappa[k];
+    const int64_t m = static_cast<int64_t>(xs.size());
+    // --- find x_lo: f'(x_lo) = -kap ------------------------------------
+    double x_lo;
+    int64_t first;  // first surviving knot index
+    if (vs[0] >= -kap) {
+      x_lo = (sl > 0) ? xs[0] - (vs[0] + kap) / sl : xs[0];
+      first = 0;
+    } else {
+      int64_t j = 0;
+      while (j + 1 < m && vs[j + 1] < -kap) ++j;
+      if (j + 1 < m) {
+        const double slope = (vs[j + 1] - vs[j]) / (xs[j + 1] - xs[j]);
+        x_lo = (slope > 0) ? xs[j] + (-kap - vs[j]) / slope : xs[j + 1];
+        first = j + 1;
+      } else {  // whole knot range below -kap; crossing in right tail
+        x_lo = (sr > 0) ? xs[m - 1] + (-kap - vs[m - 1]) / sr : xs[m - 1];
+        first = m;
+      }
+    }
+    // --- find x_hi: f'(x_hi) = +kap ------------------------------------
+    double x_hi;
+    int64_t last;  // last surviving knot index (exclusive)
+    if (vs[m - 1] <= kap) {
+      x_hi = (sr > 0) ? xs[m - 1] + (kap - vs[m - 1]) / sr : xs[m - 1];
+      last = m;
+    } else {
+      int64_t j = m - 1;
+      while (j - 1 >= 0 && vs[j - 1] > kap) --j;
+      if (j - 1 >= 0) {
+        const double slope = (vs[j] - vs[j - 1]) / (xs[j] - xs[j - 1]);
+        x_hi = (slope > 0) ? xs[j - 1] + (kap - vs[j - 1]) / slope : xs[j - 1];
+        last = j;
+      } else {  // whole knot range above kap; crossing in left tail
+        x_hi = (sl > 0) ? xs[0] - (vs[0] - kap) / sl : xs[0];
+        last = 0;
+      }
+    }
+    if (x_hi < x_lo) x_hi = x_lo;  // degenerate (kap == 0): single point
+    clip_lo[k] = x_lo;
+    clip_hi[k] = x_hi;
+
+    // --- rebuild clipped f' + add w_{k+1} (theta - r_{k+1}) -------------
+    const double wn = w[k + 1];
+    const double rn = r[k + 1];
+    std::vector<double> nxs, nvs;
+    nxs.reserve(last - first + 2);
+    nvs.reserve(last - first + 2);
+    nxs.push_back(x_lo);
+    nvs.push_back(-kap + wn * (x_lo - rn));
+    for (int64_t j = first; j < last; ++j) {
+      if (xs[j] > x_lo && xs[j] < x_hi) {
+        nxs.push_back(xs[j]);
+        nvs.push_back(vs[j] + wn * (xs[j] - rn));
+      }
+    }
+    if (x_hi > x_lo) {
+      nxs.push_back(x_hi);
+      nvs.push_back(kap + wn * (x_hi - rn));
+    }
+    xs.swap(nxs);
+    vs.swap(nvs);
+    sl = wn;
+    sr = wn;
+  }
+
+  // --- root of the final derivative ------------------------------------
+  const int64_t m = static_cast<int64_t>(xs.size());
+  double th;
+  if (vs[0] >= 0) {
+    th = (sl > 0) ? xs[0] - vs[0] / sl : xs[0];
+  } else if (vs[m - 1] <= 0) {
+    th = (sr > 0) ? xs[m - 1] - vs[m - 1] / sr : xs[m - 1];
+  } else {
+    int64_t j = 0;
+    while (j + 1 < m && vs[j + 1] < 0) ++j;
+    const double slope = (vs[j + 1] - vs[j]) / (xs[j + 1] - xs[j]);
+    th = (slope > 0) ? xs[j] - vs[j] / slope : xs[j + 1];
+  }
+  theta[n - 1] = th;
+  for (int64_t k = n - 2; k >= 0; --k) {
+    th = std::min(std::max(th, clip_lo[k]), clip_hi[k]);
+    theta[k] = th;
+  }
+  return 0;
+}
+
 }  // extern "C"
+

@@ -25,9 +25,27 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _conv_same(x, taps):
-    """np.convolve(x, taps, mode='same') with zero padding, f32."""
-    return jnp.convolve(x.astype(jnp.float32), jnp.asarray(taps, jnp.float32),
-                        mode='same', precision=_PRECISION)
+    """np.convolve(x, taps, mode='same') with zero padding, f32.
+
+    Implemented as shift-and-add over static slices rather than
+    conv_general_dilated: XLA:TPU lays 1-D convolutions out as [8, N, 1]
+    with the unit minor dim tile-padded x128, which OOMs on hour-long
+    signals. Shift-add stays in the natural 1-D layout and fuses to a
+    single elementwise loop. Taps are short (<= 41) everywhere.
+    """
+    x = x.astype(jnp.float32)
+    taps = np.asarray(taps, np.float32)
+    t = len(taps)
+    n = x.shape[0]
+    c = (t - 1) // 2
+    xpad = jnp.pad(x, (t - 1, t - 1))
+    out = None
+    # out[i] = sum_m taps[m] * x[i + c - m]
+    for m in range(t):
+        start = c - m + (t - 1)
+        term = taps[m] * xpad[start:start + n]
+        out = term if out is None else out + term
+    return out
 
 
 def energy_feature(pcm):
@@ -40,12 +58,22 @@ def energy_feature(pcm):
     return (jnp.log10(1. + smooth) / 2.)[::2]
 
 
-def zero_crossing_feature(pcm):
-    """Zero-crossing counts per 210-sample block at 210 fps, smoothed."""
+def zero_crossing_feature(pcm, kill_crossing_at=None, kill_enabled=True):
+    """Zero-crossing counts per 210-sample block at 210 fps, smoothed.
+
+    kill_crossing_at: optional static sample index whose crossing is
+    suppressed when kill_enabled (a traced bool) - used by the
+    sequence-sharded extractor to cancel the artificial data->zero-halo
+    crossing on the last shard.
+    """
     sign = jnp.signbit(pcm)
     prev = jnp.concatenate([jnp.zeros((pcm.shape[0], 1), bool), sign[:, :-1]],
                            axis=1)
     xings = sign != prev
+    if kill_crossing_at is not None:
+        killed = jnp.logical_and(xings[:, kill_crossing_at],
+                                 jnp.logical_not(kill_enabled))
+        xings = xings.at[:, kill_crossing_at].set(killed)
     n = xings.shape[1] - xings.shape[1] % 210
     per_block = xings[:, :n].reshape(xings.shape[0], -1, 210)
     counts = jnp.sum(per_block, axis=(0, 2)).astype(jnp.float32)

@@ -1,0 +1,69 @@
+"""Batch and multi-chip execution of the device-side alignment pipeline.
+
+The reference processes directory pairs in a sequential Python loop
+(describealign.py:1077). Here the pairs dimension is a real batch axis:
+
+- batched_match: jax.vmap of the full device matcher over same-bucket pairs
+  (one chip amortizes FFT/matmul launch overheads across pairs).
+- sharded_match: the same, shard_mapped over a 1-D device mesh ("data"
+  axis) - pure data parallelism over ICI, no cross-pair communication.
+- make_mesh: standard mesh helper.
+
+Pairs are length-bucketed by the caller (all members of a batch share
+padded shapes); true lengths ride along as per-pair scalars.
+"""
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..alignment.matching import match_pair
+from ..alignment.preprocess import preprocess_features
+
+
+def make_mesh(n_devices=None, axis='data'):
+    devices = np.array(jax.devices()[:n_devices] if n_devices
+                       else jax.devices())
+    return Mesh(devices, (axis,))
+
+
+def device_align_step(feats_a, len_a, feats_v, len_v):
+    """Full device-side pipeline for one pair: preprocess + match.
+
+    feats_*: (5, Npad) stacked raw features. Returns (quals, vids, centers).
+    """
+    ms_a, norms_a = preprocess_features(feats_a)
+    ms_v, norms_v = preprocess_features(feats_v)
+    return match_pair(ms_a, norms_a, feats_a[0], len_a,
+                      ms_v, norms_v, feats_v[0], len_v)
+
+
+@jax.jit
+def batched_match(feats_a, lens_a, feats_v, lens_v):
+    """vmap over the pair axis. feats_*: (B, 5, Npad); lens_*: (B,)."""
+    return jax.vmap(device_align_step)(feats_a, lens_a, feats_v, lens_v)
+
+
+def sharded_match(mesh, feats_a, lens_a, feats_v, lens_v):
+    """Data-parallel batched matching over a device mesh.
+
+    Pairs are sharded along the mesh's first axis; each device runs the
+    batched matcher on its shard. No collectives are needed (pure DP), so
+    scaling over ICI is linear; XLA inserts only the initial scatter and
+    final gather.
+    """
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+
+    def place(x):
+        return jax.device_put(x, shard)
+
+    fa, la = place(feats_a), place(lens_a)
+    fv, lv = place(feats_v), place(lens_v)
+
+    fn = jax.jit(
+        jax.vmap(device_align_step),
+        in_shardings=(shard, shard, shard, shard),
+        out_shardings=shard)
+    return fn(fa, la, fv, lv)

@@ -17,10 +17,18 @@ def setup_jax_cache():
     _DONE = True
     try:
         import jax
+        # separate cache dirs per backend: CPU AOT artifacts are machine
+        # specific and must not mix with remote-compiled TPU entries
+        platform = os.environ.get('JAX_PLATFORMS', 'default').split(',')[0]
+        if platform == 'cpu':
+            # CPU compiles are fast, and in remote-compile environments the
+            # cached CPU AOT artifacts may target a different host CPU
+            # (SIGILL risk) - skip persistence
+            return
         cache_dir = os.environ.get(
             'DESCRIBEALIGN_JAX_CACHE_DIR',
             os.path.join(os.path.expanduser('~'), '.cache',
-                         'describealign_tpu', 'jax_cache'))
+                         'describealign_tpu', f'jax_cache_{platform}'))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -57,3 +57,21 @@ def test_align_mismatched_raises():
                              seed=99)
     with pytest.raises(RuntimeError, match="mismatched"):
         run_align(video, audio)
+
+
+def test_fit_backends_equivalent():
+    """End-to-end: the native fused-lasso fit and the exact LP must produce
+    the same final alignment nodes (within a feature frame)."""
+    video, audio, segments = build_pair(content_seconds=40.0, narration=(),
+                                        lead_in=6.0, seed=3)
+    vf = features_of(video)
+    af = features_of(audio)
+    x_lp, y_lp, sim_lp, _, m_lp = align(vf, af, vf[0], af[0],
+                                        fit_backend='highs')
+    x_tv, y_tv, sim_tv, _, m_tv = align(vf, af, vf[0], af[0],
+                                        fit_backend='device')
+    probes = np.linspace(x_lp[0] + 0.5, x_lp[-1] - 0.5, 40)
+    np.testing.assert_allclose(np.interp(probes, x_tv, y_tv),
+                               np.interp(probes, x_lp, y_lp), atol=0.05)
+    assert abs(sim_tv - sim_lp) < 1.0
+    assert abs(m_tv - m_lp) < 5e-3

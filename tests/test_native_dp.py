@@ -75,3 +75,23 @@ def test_refine_dp_native_matches_python(seed):
     # cum column may differ on the final (jump-penalized) entry; compare the
     # semantic columns
     np.testing.assert_allclose(path_py[:, :4], path_cc[:, :4], rtol=1e-12)
+
+
+def test_build_points_flat_matches_lists():
+    """Vectorized flat point building == the semantic list version."""
+    rng = np.random.default_rng(5)
+    na, nv = 800, 850
+    audio_scaled = rng.normal(0, 1, (na, 3)).cumsum(axis=0) * 0.01
+    video_scaled = rng.normal(0, 1, (nv, 3)).cumsum(axis=0) * 0.01
+    clusters = [(np.arange(50, 700), 20.0, 1.001),
+                (np.arange(100, 400), -5.0, 0.999),
+                (np.arange(300, 790), 40.0, 1.0)]
+    pts = refine.build_points(clusters, audio_scaled, video_scaled)
+    pj, pc, pq, offsets = refine.build_points_flat(clusters, audio_scaled,
+                                                   video_scaled)
+    from describealign_tpu.alignment.refine_native import flat_from_points_lists
+    pj2, pc2, pq2, off2 = flat_from_points_lists(pts)
+    np.testing.assert_array_equal(offsets, off2)
+    np.testing.assert_allclose(pj, pj2, rtol=1e-12)
+    np.testing.assert_array_equal(pc, pc2)
+    np.testing.assert_allclose(pq, pq2, rtol=1e-12)
