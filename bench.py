@@ -28,12 +28,9 @@ def build_scale_pair():
                       seed=42)
 
 
-def run_once(video, audio):
-    from describealign_tpu.alignment.api import align
-    from describealign_tpu.pipeline import _features_for
-    vf, nv = _features_for(video)
-    af, na = _features_for(audio)
-    return align(vf, af, vf[0], af[0], video_frames=nv, audio_frames=na)
+def run_once(video_i16, audio_i16):
+    from describealign_tpu.alignment.api import align_from_pcm
+    return align_from_pcm(video_i16, audio_i16)
 
 
 def main():
@@ -43,6 +40,8 @@ def main():
 
     t0 = time.time()
     video, audio, segments = build_scale_pair()
+    video = np.clip(video, -32768, 32767).astype(np.int16)
+    audio = np.clip(audio, -32768, 32767).astype(np.int16)
     gen_seconds = time.time() - t0
     audio_minutes = audio.shape[1] / 44100.0 / 60.0
 

@@ -5,22 +5,29 @@ Same contract as the reference's align (describealign.py:595-1027):
     align(video_features, audio_desc_features, video_energy, audio_energy)
       -> (audio_times_s, video_times_s, similarity_percent, path, median_slope)
 
-Internally the pipeline is TPU-first:
-  device (one jitted call): mean-sub/norms -> coarse offset DP -> fine banded
-      correlation -> per-frame top-K match candidates
-  host: exact weighted-LIS chain -> continuity filter -> compression ->
-      L1 piecewise-linear fit (device ADMM or host LP) -> pass-2 cluster
-      refinement -> similarity/nodes
+plus the TPU-first fast path align_from_pcm(video_pcm, audio_pcm) used by
+the pipeline: one fused jitted call covers int16 PCM -> features ->
+preprocess -> coarse offset DP -> fine banded correlation -> top-K
+candidates, so the only host<->device traffic is the (half-size) int16 PCM
+up and a few MB of candidates + features down.
+
+Host stages (shared by both entries): exact weighted-LIS chain ->
+continuity filter -> compression -> L1 piecewise-linear fit (native exact
+fused-lasso by default, scipy LP as cross-check) -> pass-2 cluster
+refinement -> similarity/nodes.
 """
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import continuity, fit, lis, matching, outputs, preprocess, refine
+from .refine_native import refine_dp_flat
 
 BUCKET_FRAMES = 210 * 64          # shape bucket quantum (64 s)
 PAD_MARGIN = 210 + preprocess.WINDOW
+PCM_BUCKET = 210 * BUCKET_FRAMES  # samples; 210 samples per feature frame
 
 
 def _bucket_pad(n):
@@ -39,25 +46,28 @@ def _fail_if_short(path_len, num_video, num_audio):
         raise RuntimeError("Alignment failed, are the input files mismatched?")
 
 
+def _default_backend(fit_backend):
+    return fit_backend or os.environ.get('DESCRIBEALIGN_FIT_BACKEND', 'native')
+
+
 def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
           fit_backend=None, video_frames=None, audio_frames=None):
-    """video_frames/audio_frames: true 210fps frame counts when the feature
-    arrays carry zero-padding (bucketed extraction); default = array length."""
-    fit_backend = fit_backend or os.environ.get(
-        'DESCRIBEALIGN_FIT_BACKEND', 'native')
+    """Feature-list entry (reference-compatible module API).
 
+    video_frames/audio_frames: true 210fps frame counts when the feature
+    arrays carry zero-padding (bucketed extraction); default = array length.
+    """
+    fit_backend = _default_backend(fit_backend)
     na = min(len(f) for f in audio_desc_features)
     nv = min(len(f) for f in video_features)
     if audio_frames is not None:
         na = min(na, int(audio_frames))
     if video_frames is not None:
         nv = min(nv, int(video_frames))
-    na_pad = _bucket_pad(na)
-    nv_pad = _bucket_pad(nv)
 
     print("  memorizing video...        \r", end='')
-    feats_a = _stack_padded(audio_desc_features, na, na_pad)
-    feats_v = _stack_padded(video_features, nv, nv_pad)
+    feats_a = _stack_padded(audio_desc_features, na, _bucket_pad(na))
+    feats_v = _stack_padded(video_features, nv, _bucket_pad(nv))
     ms_a, norms_a = preprocess.preprocess_features(feats_a)
     ms_v, norms_v = preprocess.preprocess_features(feats_v)
 
@@ -65,6 +75,38 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     quals, vids, _ = matching.match_pair(
         ms_a, norms_a, feats_a[0], na,
         ms_v, norms_v, feats_v[0], nv)
+    feats_a_np = np.asarray(feats_a)
+    feats_v_np = np.asarray(feats_v)
+    return _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv,
+                        fit_backend)
+
+
+def _pad_pcm_i16(pcm_i16):
+    s = pcm_i16.shape[1]
+    pad = -(-(s + PAD_MARGIN * 210) // PCM_BUCKET) * PCM_BUCKET - s
+    return np.pad(pcm_i16, ((0, 0), (0, pad)))
+
+
+def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None):
+    """Fast path: int16 PCM in, alignment out, one device round-trip."""
+    fit_backend = _default_backend(fit_backend)
+    na = audio_pcm_i16.shape[1] // 210
+    nv = video_pcm_i16.shape[1] // 210
+    print("  memorizing video...        \r", end='')
+    # async uploads of both (half-size) PCM streams overlap
+    dev_a = jax.device_put(_pad_pcm_i16(audio_pcm_i16))
+    dev_v = jax.device_put(_pad_pcm_i16(video_pcm_i16))
+    print("  matching audio...  \r", end='')
+    quals, vids, _, feats_a, feats_v = matching.extract_and_match(
+        dev_a, na, dev_v, nv)
+    feats_a_np = np.asarray(feats_a)
+    feats_v_np = np.asarray(feats_v)
+    return _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv,
+                        fit_backend)
+
+
+def _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv, fit_backend):
+    """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
     cand_a, cand_v, cand_q = lis.candidates_from_match_output(quals, vids)
     y, x = lis.weighted_lis(cand_a, cand_v, cand_q)  # y=video, x=audio
     _fail_if_short(len(x), nv, na)
@@ -78,9 +120,9 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     audio_scaled_list, video_scaled_list = [], []
     yi = y.astype(np.int64)
     xi = x.astype(np.int64)
-    for vf, af in zip(video_features, audio_desc_features):
-        vf = np.asarray(vf[:nv], np.float64)
-        af = np.asarray(af[:na], np.float64)
+    for j in range(5):
+        vf = feats_v_np[j, :nv].astype(np.float64)
+        af = feats_a_np[j, :na].astype(np.float64)
         af_std = np.std(af)
         vy = vf[yi]
         scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
@@ -97,13 +139,12 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     clusters = refine.build_line_clusters(smooth_path, fit_result['slopes'])
     pj, pc, pq, offsets = refine.build_points_flat(clusters, audio_scaled,
                                                    video_scaled)
-    from .refine_native import refine_dp_flat
     path = refine_dp_flat(pj, pc, pq, offsets, len(clusters),
                           len(video_scaled))
     _fail_if_short(len(path), nv, na)
 
     audio_times, video_times, similarity_percent, path_s = \
-        outputs.similarity_and_nodes(path, len(audio_scaled), len(video_scaled),
-                                     na, nv)
+        outputs.similarity_and_nodes(path, len(audio_scaled),
+                                     len(video_scaled), na, nv)
     return (audio_times, video_times, similarity_percent, path_s,
             fit_result['median_slope'])

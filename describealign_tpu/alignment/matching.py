@@ -200,8 +200,51 @@ def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask, nv_pad,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=())
+def extract_and_match(pcm_a_i16, len_a, pcm_v_i16, len_v):
+    """Fused device pipeline: int16 PCM -> features -> preprocess -> match.
+
+    pcm_*_i16: (C, S_pad) int16 (uploads at half the f32 size - the
+    host<->device link is the scarcest resource on tunneled TPU setups);
+    len_*: true 210fps frame counts. The int16 -> float16-grid -> f32 cast
+    happens on device, matching the reference's storage dtype exactly.
+
+    Returns (quals, vids, center_frames, feats_a (5, Npad), feats_v) - the
+    stacked raw features come back for the host-side refinement stages, one
+    D2H transfer of a few MB.
+    """
+    from ..ops import features as F
+    from .preprocess import preprocess_features
+
+    def feats_of(pcm_i16):
+        pcm = pcm_i16.astype(jnp.float16).astype(jnp.float32)
+        fs = (F.energy_feature(pcm), F.zero_crossing_feature(pcm)) \
+            + tuple(F.freq_band_features(pcm))
+        n = pcm.shape[1] // 210
+        return jnp.stack([f[:n] for f in fs], axis=0)
+
+    feats_a = feats_of(pcm_a_i16)
+    feats_v = feats_of(pcm_v_i16)
+    # zero the padding tail so masks/norms see silence, not boundary smear
+    idx_a = jnp.arange(feats_a.shape[1])[None, :]
+    idx_v = jnp.arange(feats_v.shape[1])[None, :]
+    feats_a = jnp.where(idx_a < len_a, feats_a, 0.0)
+    feats_v = jnp.where(idx_v < len_v, feats_v, 0.0)
+    ms_a, norms_a = preprocess_features(feats_a)
+    ms_v, norms_v = preprocess_features(feats_v)
+    quals, vids, centers = _match_core(ms_a, norms_a, feats_a[0], len_a,
+                                       ms_v, norms_v, feats_v[0], len_v)
+    return quals, vids, centers, feats_a, feats_v
+
+
+@partial(jax.jit, static_argnames=())
 def match_pair(feats_a, norms_a, energy_a, len_a,
                feats_v, norms_v, energy_v, len_v):
+    return _match_core(feats_a, norms_a, energy_a, len_a,
+                       feats_v, norms_v, energy_v, len_v)
+
+
+def _match_core(feats_a, norms_a, energy_a, len_a,
+                feats_v, norms_v, energy_v, len_v):
     """All-in-one device matcher.
 
     feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);

@@ -24,7 +24,7 @@ def _as_reference_dtype(int16_arr):
     return int16_arr.astype(np.float16).astype(np.float32)
 
 
-def _decode_wav(media_file, num_channels):
+def _decode_wav_int16(media_file, num_channels):
     with wave.open(media_file, 'rb') as w:
         n_ch = w.getnchannels()
         rate = w.getframerate()
@@ -47,14 +47,19 @@ def _decode_wav(media_file, num_channels):
         arr = resample_poly(arr.astype(np.float32), AUDIO_SAMPLE_RATE // g,
                             rate // g, axis=1)
         arr = np.clip(np.round(arr), -32768, 32767).astype(np.int16)
-    return _as_reference_dtype(arr)
+    return np.ascontiguousarray(arr)
 
 
-def parse_audio_from_file(media_file, num_channels=2):
-    """Decode the first audio track to (num_channels, samples) float32@44.1k."""
+def parse_audio_int16(media_file, num_channels=2):
+    """Decode the first audio track to (num_channels, samples) int16@44.1k.
+
+    Preferred for the device pipeline: int16 uploads at half the float32
+    size and the float16-grid cast happens on device (bit-identical to the
+    reference's storage dtype).
+    """
     media_file = str(media_file)
     if media_file.lower().endswith('.wav') and not is_ffmpeg_installed():
-        return _decode_wav(media_file, num_channels)
+        return _decode_wav_int16(media_file, num_channels)
     args = ['-i', media_file,
             '-map', '0:a:0',
             '-af', 'aresample=async=1:first_pts=0',
@@ -63,8 +68,20 @@ def parse_audio_from_file(media_file, num_channels=2):
             '-loglevel', 'error',
             '-']
     out, _ = run_ffmpeg_command(args, f"parse audio from input file: {media_file}")
-    arr = np.frombuffer(out, np.int16).reshape(-1, num_channels).T
-    return _as_reference_dtype(arr)
+    return np.ascontiguousarray(np.frombuffer(out, np.int16)
+                                .reshape(-1, num_channels).T)
+
+
+def parse_audio_from_file(media_file, num_channels=2):
+    """Decode the first audio track to (num_channels, samples) float32@44.1k
+    on the float16 grid (the reference's storage dtype)."""
+    return _as_reference_dtype(parse_audio_int16(media_file, num_channels))
+
+
+def int16_view(pcm_f32):
+    """Exact int16 of a float16-grid f32 array (fullscale 32768 clips to
+    32767, which rounds back to 32768 on the f16 grid - lossless)."""
+    return np.clip(pcm_f32, -32768, 32767).astype(np.int16)
 
 
 def write_wav(path, media_arr, sample_rate=AUDIO_SAMPLE_RATE):

@@ -17,6 +17,7 @@ from .constants import (AUDIO_EXTENSIONS, AUDIO_SAMPLE_RATE,
                         DEFAULT_ALIGNMENT_DIR, DEFAULT_OUTPUT_DIR,
                         IS_RUNNING_WINDOWS, PLOT_ALIGNMENT_TO_FILE,
                         VIDEO_EXTENSIONS)
+from .utils import aligncache
 from .utils.files import ensure_folders_exist, get_sorted_filenames
 
 PCM_BUCKET_SECONDS = 60
@@ -48,8 +49,8 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
     (reference README.md:136-140).
     """
     from . import __version__
-    from .alignment.api import align
-    from .media.decode import parse_audio_from_file
+    from .alignment.api import align_from_pcm
+    from .media.decode import parse_audio_int16
     from .media.ffmpeg import is_ffmpeg_installed
     from .media.mux import encode_fit_as_ffmpeg_expr, write_replaced_media_to_disk
     from .media.probe import get_closest_key_frame_time
@@ -99,8 +100,28 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
 
     print(f"Processing files with v{__version__}:")
 
-    for (video_file, audio_desc_file, has_audio_extension) in zip(
-            video_files, audio_desc_files, has_audio_extensions):
+    # decode-ahead: ffmpeg-decode the next pair in a worker thread while the
+    # current pair aligns (the reference's directory loop is fully
+    # sequential, describealign.py:1077)
+    from concurrent.futures import ThreadPoolExecutor
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+    num_channels = 2 if stretch_audio else 1
+
+    def decode_pair(vf_af):
+        vf, af = vf_af
+        return (parse_audio_int16(vf, num_channels),
+                parse_audio_int16(af, num_channels))
+
+    pending = {}
+
+    def prefetch(idx):
+        if 0 <= idx < len(video_files) and idx not in pending:
+            pending[idx] = decode_pool.submit(
+                decode_pair, (video_files[idx], audio_desc_files[idx]))
+
+    for pair_index, (video_file, audio_desc_file, has_audio_extension) in \
+            enumerate(zip(video_files, audio_desc_files,
+                          has_audio_extensions)):
         output_filename = prepend + os.path.split(video_file)[1]
         output_filename = os.path.join(output_dir, output_filename)
         print(f" {output_filename}")
@@ -120,29 +141,31 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
         if IS_RUNNING_WINDOWS and len(full_output_filename) >= 260:
             print("  WARNING: very long output path, ffmpeg may fail...")
 
-        num_channels = 2 if stretch_audio else 1
-        print("  reading video file...\r", end='')
-        video_arr = parse_audio_from_file(video_file, num_channels)
+        cached = aligncache.load(alignment_dir, video_file, audio_desc_file)
+        video_arr = audio_desc_arr = None
+        if cached is not None and not stretch_audio:
+            print("  using cached alignment...\r", end='')
+            outputs = cached
+        else:
+            print("  reading media files...\r", end='')
+            prefetch(pair_index)
+            video_i16, audio_i16 = pending.pop(pair_index).result()
+            prefetch(pair_index + 1)
+            if stretch_audio:
+                video_arr = video_i16.astype(np.float16).astype(np.float32)
+                audio_desc_arr = audio_i16.astype(np.float16).astype(np.float32)
 
-        print("  computing video features... \r", end='')
-        video_features, video_frames = _features_for(video_arr)
-        if not stretch_audio:
-            del video_arr
-
-        print("  reading audio file...       \r", end='')
-        audio_desc_arr = parse_audio_from_file(audio_desc_file, num_channels)
-
-        print("  computing audio features...\r", end='')
-        audio_desc_features, audio_frames = _features_for(audio_desc_arr)
-        if not stretch_audio:
-            del audio_desc_arr
-
-        outputs = align(video_features, audio_desc_features,
-                        video_features[0], audio_desc_features[0],
-                        video_frames=video_frames, audio_frames=audio_frames)
+            if cached is not None:
+                outputs = cached
+            else:
+                # channel count follows the mode (1 default / 2 stretch),
+                # like the reference's feature extraction (combine:1096)
+                outputs = align_from_pcm(video_i16, audio_i16)
+                aligncache.save(alignment_dir, video_file, audio_desc_file,
+                                outputs)
+            del video_i16, audio_i16
         audio_desc_times, video_times, similarity_percent, path, median_slope \
             = outputs
-        del video_features, audio_desc_features
 
         if similarity_percent < 20:
             print(f"  WARNING: similarity {similarity_percent:.1f}%, "
@@ -203,4 +226,5 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
             plot_alignment(plot_filename_no_ext, path, audio_desc_times,
                            video_times, similarity_percent, median_slope,
                            stretch_audio, no_pitch_correction, ffmpeg_command)
+    decode_pool.shutdown(wait=False)
     print("All files processed.       ")

@@ -73,3 +73,23 @@ def test_cli_version(capsys):
     out = capsys.readouterr().out
     assert "version:" in out
     assert "content hash:" in out
+
+
+def test_alignment_cache_reused(wav_pair, tmp_path, capsys, monkeypatch):
+    """Second run with a fresh output dir must reuse the cached alignment."""
+    import describealign_tpu as da
+    video_wav, audio_wav, _ = wav_pair
+    plot_dir = str(tmp_path / "plots")
+    da.combine([video_wav], [audio_wav], stretch_audio=True, yes=True,
+               output_dir=str(tmp_path / "o1"), alignment_dir=plot_dir)
+    capsys.readouterr()
+    import describealign_tpu.alignment.api as api_mod
+
+    def boom(*a, **k):
+        raise AssertionError("align() should not run on a cache hit")
+
+    monkeypatch.setattr(api_mod, 'align', boom)
+    da.combine([video_wav], [audio_wav], stretch_audio=True, yes=True,
+               output_dir=str(tmp_path / "o2"), alignment_dir=plot_dir)
+    assert os.path.exists(os.path.join(str(tmp_path / "o2"),
+                                       "ad_episode_1.wav"))
