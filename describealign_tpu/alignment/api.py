@@ -82,16 +82,36 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
 
 
 def _pad_pcm_i16(pcm_i16):
-    s = pcm_i16.shape[1]
-    pad = -(-(s + PAD_MARGIN * 210) // PCM_BUCKET) * PCM_BUCKET - s
-    return np.pad(pcm_i16, ((0, 0), (0, pad)))
+    target = _padded_len(pcm_i16.shape[1])
+    if pcm_i16.shape[1] == target:
+        return pcm_i16  # already bucket-padded (decode-ahead thread)
+    return np.pad(pcm_i16, ((0, 0), (0, target - pcm_i16.shape[1])))
 
 
-def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None):
-    """Fast path: int16 PCM in, alignment out, one device round-trip."""
+def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
+                   video_samples=None, audio_samples=None):
+    """Fast path: int16 PCM in, alignment out, one device round-trip.
+
+    video_samples/audio_samples: true sample counts when the PCM arrays are
+    already bucket-padded (e.g. by the pipeline's decode-ahead thread).
+    Set DESCRIBEALIGN_PROFILE_DIR to capture a JAX/xprof device trace of the
+    fused program (viewable with xprof/tensorboard).
+    """
+    profile_dir = os.environ.get('DESCRIBEALIGN_PROFILE_DIR')
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            return _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16,
+                                        fit_backend, video_samples,
+                                        audio_samples)
+    return _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend,
+                                video_samples, audio_samples)
+
+
+def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
+                         video_samples=None, audio_samples=None):
     fit_backend = _default_backend(fit_backend)
-    na = audio_pcm_i16.shape[1] // 210
-    nv = video_pcm_i16.shape[1] // 210
+    na = (audio_samples or audio_pcm_i16.shape[1]) // 210
+    nv = (video_samples or video_pcm_i16.shape[1]) // 210
     print("  memorizing video...        \r", end='')
     # async uploads of both (half-size) PCM streams overlap
     dev_a = jax.device_put(_pad_pcm_i16(audio_pcm_i16))
@@ -105,13 +125,69 @@ def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None):
                         fit_backend)
 
 
-def _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv, fit_backend):
+def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
+                         host_workers=4, true_samples=None):
+    """Batch fast path: list of (video_pcm_i16, audio_pcm_i16) pairs.
+
+    The device programs are dispatched asynchronously with a bounded queue
+    depth (uploads and compute of pair i+1 overlap the result pull of pair
+    i), and the host refinement stages run in a thread pool (the native
+    DP/fused-lasso solvers release the GIL). This turns the reference's
+    fully sequential directory loop (describealign.py:1077) into a
+    pipelined batch; a single fused program per pair keeps peak HBM bounded
+    regardless of batch size.
+
+    Returns a list of align() result tuples, one per pair.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    fit_backend = _default_backend(fit_backend)
+    b = len(pairs)
+    if true_samples is None:
+        true_samples = [(v.shape[1], a.shape[1]) for (v, a) in pairs]
+
+    def dispatch(i):
+        v, a = pairs[i]
+        sv, sa = true_samples[i]
+        dev_a = jax.device_put(_pad_pcm_i16(a))
+        dev_v = jax.device_put(_pad_pcm_i16(v))
+        out = matching.extract_and_match(dev_a, sa // 210, dev_v, sv // 210)
+        return (i, out)
+
+    in_flight = deque(dispatch(i) for i in range(min(device_depth, b)))
+    next_i = len(in_flight)
+    futs = []
+    with ThreadPoolExecutor(max_workers=host_workers) as pool:
+        while in_flight:
+            i, out = in_flight.popleft()
+            quals = np.asarray(out[0])
+            vids = np.asarray(out[1])
+            feats_a = np.asarray(out[3])
+            feats_v = np.asarray(out[4])
+            if next_i < b:
+                in_flight.append(dispatch(next_i))
+                next_i += 1
+            sv, sa = true_samples[i]
+            futs.append(pool.submit(
+                _host_stages, quals, vids, feats_a, feats_v,
+                sa // 210, sv // 210, fit_backend, True))
+        return [f.result() for f in futs]
+
+
+def _padded_len(s):
+    return (-(-(s + PAD_MARGIN * 210) // PCM_BUCKET)) * PCM_BUCKET
+
+
+def _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv, fit_backend,
+                 quiet=False):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
     cand_a, cand_v, cand_q = lis.candidates_from_match_output(quals, vids)
     y, x = lis.weighted_lis(cand_a, cand_v, cand_q)  # y=video, x=audio
     _fail_if_short(len(x), nv, na)
 
-    print("  refining match: pass 1 of 2...\r", end='')
+    if not quiet:
+        print("  refining match: pass 1 of 2...\r", end='')
     x, y = continuity.continuity_filter(
         np.asarray(x, np.float64), np.asarray(y, np.float64))
 
@@ -135,7 +211,8 @@ def _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv, fit_backend):
     fit_result = fit.solve_l1_fit(cx, cy, backend=fit_backend)
     smooth_path = list(zip(cx, fit_result['smooth_y']))
 
-    print("  refining match: pass 2 of 2...\r", end='')
+    if not quiet:
+        print("  refining match: pass 2 of 2...\r", end='')
     clusters = refine.build_line_clusters(smooth_path, fit_result['slopes'])
     pj, pc, pq, offsets = refine.build_points_flat(clusters, audio_scaled,
                                                    video_scaled)

@@ -53,6 +53,20 @@ DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
 DP_JUMP_COST = 8.0          # cost of a free jump (skips/offsets)
 
 
+def _use_pallas():
+    """Fused Pallas fine-match kernel: opt-in via DESCRIBEALIGN_PALLAS=1
+    (or =interpret for the CPU interpreter, used by tests)."""
+    import os
+    return os.environ.get('DESCRIBEALIGN_PALLAS', '') not in ('', '0')
+
+
+def _pallas_interpret():
+    import os
+    import jax as _jax
+    return (os.environ.get('DESCRIBEALIGN_PALLAS') == 'interpret'
+            or _jax.default_backend() == 'cpu')
+
+
 def _windows(x, start, count, width=WINDOW):
     """(F, count, width) sliding windows of x[:, start + i + t]."""
     seg = jax.lax.dynamic_slice_in_dim(x, start, count + width - 1, axis=1)
@@ -81,54 +95,63 @@ def _coarse_descriptors(ms, norms, mask):
     return jnp.pad(desc, ((0, 0), (0, 128 - 3 * WINDOW)))
 
 
-def _skew_block_scores(desc_a, desc_v):
-    """Offset-space block score map P[b, o].
+COARSE_CHUNK = 64  # blocks per lax.map step (MXU-sized matmuls, large DMAs)
 
-    For each 1-second audio block b (COARSE_PER_BLOCK coarse rows), P[b, o]
-    is the best descriptor-correlation sum at video-minus-audio offset
-    (o - Ka) coarse steps. Shape (B, D) with D = Ka + Kv.
+
+def _block_scores_local(desc_a, desc_v):
+    """Video-coordinate block score map P[b, v].
+
+    P[b, v] = best descriptor-correlation sum matching any coarse row of
+    audio block b against video coarse index (v + within-block phase).
+    Working in video coordinates (rather than offset space) halves the lane
+    width and needs no scatter: the DP below re-labels lanes by shifting the
+    nominal +10 advance per block instead.
     """
     ka = desc_a.shape[0]
     kv = desc_v.shape[0]
     nb = ka // COARSE_PER_BLOCK
-    d_lanes = ka + kv
+    nb_pad = -(-nb // COARSE_CHUNK) * COARSE_CHUNK
+    desc_a = jnp.pad(desc_a,
+                     ((0, nb_pad * COARSE_PER_BLOCK - ka), (0, 0)))
 
-    def step(_, b):
+    def chunk(c):
         rows = jax.lax.dynamic_slice_in_dim(
-            desc_a, b * COARSE_PER_BLOCK, COARSE_PER_BLOCK, axis=0)
+            desc_a, c * COARSE_CHUNK * COARSE_PER_BLOCK,
+            COARSE_CHUNK * COARSE_PER_BLOCK, axis=0)
         s = jnp.dot(rows, desc_v.T,
-                    preferred_element_type=jnp.float32)          # (10, Kv)
-        # shift row p left by p so lanes align at the block's first row
-        s = jnp.pad(s, ((0, 0), (0, COARSE_PER_BLOCK)))
+                    preferred_element_type=jnp.float32)  # (640, Kv)
+        s = s.reshape(COARSE_CHUNK, COARSE_PER_BLOCK, kv)
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, COARSE_PER_BLOCK)))
         aligned = jnp.stack(
-            [s[p, p:p + kv] for p in range(COARSE_PER_BLOCK)], axis=0)
-        block_best = jnp.max(aligned, axis=0)                    # (Kv,)
-        # global lane of local v-lane 0 is (Ka - k_block)
-        row = jnp.zeros((d_lanes,), jnp.float32)
-        row = jax.lax.dynamic_update_slice(
-            row, block_best, (ka - b * COARSE_PER_BLOCK,))
-        return None, row
+            [s[:, p, p:p + kv] for p in range(COARSE_PER_BLOCK)], axis=1)
+        return jnp.max(aligned, axis=1)                  # (CHUNK, Kv)
 
-    _, p_map = jax.lax.scan(step, None, jnp.arange(nb))
-    return p_map                                                 # (B, D)
+    p_map = jax.lax.map(chunk, jnp.arange(nb_pad // COARSE_CHUNK))
+    return p_map.reshape(nb_pad, kv)[:nb]
 
 
 def _coarse_dp(p_map):
-    """Monotone offset-track DP over the block score map (exact max-plus).
-
-    Transition from offset o' to o costs DP_SLOPE_COST*|o-o'|, capped by a
+    """Monotone track DP over the video-coordinate block score map (exact
+    max-plus). A path at constant audio/video offset advances 10 video
+    lanes per block; deviations cost DP_SLOPE_COST per lane, capped by a
     flat DP_JUMP_COST for arbitrary jumps (content skips / start offsets).
-    The |.| distance transform is computed exactly with two running cummax
-    passes. Returns the per-block offset lane (B,) i32 via backtrace.
+    The |.| distance transform is exact via two running cummax passes.
+    Returns the per-block video coarse index (B,) i32 via backtrace.
     """
     nb, d = p_map.shape
     lanes = jnp.arange(d, dtype=jnp.float32)
+    adv = COARSE_PER_BLOCK
 
     def relax(prev):
-        fwd = jax.lax.cummax(prev + DP_SLOPE_COST * lanes) - DP_SLOPE_COST * lanes
-        bwd = (jnp.flip(jax.lax.cummax(jnp.flip(prev - DP_SLOPE_COST * lanes)))
+        # shift by the nominal advance, then |.| distance transform
+        prev10 = jnp.concatenate(
+            [jnp.full((adv,), -1e30, jnp.float32), prev[:-adv]])
+        fwd = (jax.lax.cummax(prev10 + DP_SLOPE_COST * lanes)
+               - DP_SLOPE_COST * lanes)
+        bwd = (jnp.flip(jax.lax.cummax(jnp.flip(prev10 - DP_SLOPE_COST * lanes)))
                + DP_SLOPE_COST * lanes)
-        return jnp.maximum(jnp.maximum(fwd, bwd), jnp.max(prev) - DP_JUMP_COST)
+        return jnp.maximum(jnp.maximum(fwd, bwd),
+                           jnp.max(prev) - DP_JUMP_COST)
 
     def fwd_step(prev, p_row):
         cur = relax(prev) + p_row
@@ -141,7 +164,7 @@ def _coarse_dp(p_map):
 
     def back_step(o_next, cost_prev):
         moved = cost_prev - DP_SLOPE_COST * jnp.abs(
-            jnp.arange(d, dtype=jnp.float32) - o_next)
+            jnp.arange(d, dtype=jnp.float32) - (o_next - adv).astype(jnp.float32))
         jumped = jnp.max(cost_prev) - DP_JUMP_COST
         o_prev = jnp.where(jnp.max(moved) >= jumped,
                            jnp.argmax(moved), jnp.argmax(cost_prev))
@@ -258,18 +281,30 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
 
     desc_a = _coarse_descriptors(feats_a[:3], norms_a[:3], a_mask)
     desc_v = _coarse_descriptors(feats_v[:3], norms_v[:3], v_mask)
-    p_map = _skew_block_scores(desc_a, desc_v)
-    lane_path = _coarse_dp(p_map)                     # (B,) lanes
-    ka = desc_a.shape[0]
-    center_frames = (lane_path - ka) * COARSE_STRIDE  # video-minus-audio, frames
+    p_map = _block_scores_local(desc_a, desc_v)
+    v_path = _coarse_dp(p_map)                        # (B,) video coarse idx
+    nb = v_path.shape[0]
+    # video-minus-audio offset per block, in frames
+    center_frames = (v_path * COARSE_STRIDE
+                     - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
 
-    def step(_, inp):
+    if _use_pallas():
+        from ..ops.pallas_fine import fine_match_pallas
+        starts = jnp.clip(
+            jnp.arange(nb, dtype=jnp.int32) * BLOCK + center_frames
+            - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
+        quals, vids = fine_match_pallas(
+            feats_a, norms_a, a_mask.astype(jnp.float32),
+            feats_v, norms_v, v_mask.astype(jnp.float32),
+            starts, interpret=_pallas_interpret())
+        return quals, vids, center_frames
+
+    def one_block(inp):
         b, center = inp
-        q, v = _fine_block(feats_a, norms_a, feats_v, norms_v,
+        return _fine_block(feats_a, norms_a, feats_v, norms_v,
                            a_mask, v_mask, nv_pad, b, center)
-        return None, (q, v)
 
-    nb = lane_path.shape[0]
-    _, (quals, vids) = jax.lax.scan(
-        step, None, (jnp.arange(nb), center_frames))
+    quals, vids = jax.lax.map(
+        one_block, (jnp.arange(nb, dtype=jnp.int32), center_frames),
+        batch_size=32)
     return quals, vids, center_frames

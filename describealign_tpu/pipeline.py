@@ -108,9 +108,12 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
     num_channels = 2 if stretch_audio else 1
 
     def decode_pair(vf_af):
+        # bucket-pad off the critical path; true lengths ride alongside
+        from .alignment.api import _pad_pcm_i16
         vf, af = vf_af
-        return (parse_audio_int16(vf, num_channels),
-                parse_audio_int16(af, num_channels))
+        v = parse_audio_int16(vf, num_channels)
+        a = parse_audio_int16(af, num_channels)
+        return (_pad_pcm_i16(v), v.shape[1], _pad_pcm_i16(a), a.shape[1])
 
     pending = {}
 
@@ -149,18 +152,23 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
         else:
             print("  reading media files...\r", end='')
             prefetch(pair_index)
-            video_i16, audio_i16 = pending.pop(pair_index).result()
+            video_i16, video_samples, audio_i16, audio_samples = \
+                pending.pop(pair_index).result()
             prefetch(pair_index + 1)
             if stretch_audio:
-                video_arr = video_i16.astype(np.float16).astype(np.float32)
-                audio_desc_arr = audio_i16.astype(np.float16).astype(np.float32)
+                video_arr = (video_i16[:, :video_samples]
+                             .astype(np.float16).astype(np.float32))
+                audio_desc_arr = (audio_i16[:, :audio_samples]
+                                  .astype(np.float16).astype(np.float32))
 
             if cached is not None:
                 outputs = cached
             else:
                 # channel count follows the mode (1 default / 2 stretch),
                 # like the reference's feature extraction (combine:1096)
-                outputs = align_from_pcm(video_i16, audio_i16)
+                outputs = align_from_pcm(video_i16, audio_i16,
+                                         video_samples=video_samples,
+                                         audio_samples=audio_samples)
                 aligncache.save(alignment_dir, video_file, audio_desc_file,
                                 outputs)
             del video_i16, audio_i16

@@ -75,3 +75,25 @@ def test_fit_backends_equivalent():
                                np.interp(probes, x_lp, y_lp), atol=0.05)
     assert abs(sim_tv - sim_lp) < 1.0
     assert abs(m_tv - m_lp) < 5e-3
+
+
+def test_align_batch_matches_single():
+    """Batched device path + threaded host stages == per-pair results."""
+    from describealign_tpu.alignment.api import (align_batch_from_pcm,
+                                                 align_from_pcm)
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    pairs = []
+    for seed in (3, 11):
+        video, audio, _ = build_pair(content_seconds=40.0, narration=(),
+                                     lead_in=6.0, seed=seed)
+        pairs.append((to_i16(video), to_i16(audio)))
+    batch = align_batch_from_pcm(pairs)
+    for (v, a), got in zip(pairs, batch):
+        want = align_from_pcm(v, a)
+        np.testing.assert_allclose(got[0], want[0], atol=1e-6)  # audio times
+        np.testing.assert_allclose(got[1], want[1], atol=1e-6)  # video times
+        assert abs(got[2] - want[2]) < 1e-9                     # similarity
+        assert abs(got[4] - want[4]) < 1e-12                    # median slope

@@ -72,3 +72,54 @@ def test_sharded_match_equals_batched(small_batch):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(vids_s), np.asarray(vids_b))
     np.testing.assert_array_equal(np.asarray(centers_s), np.asarray(centers_b))
+
+def test_pallas_fine_matches_xla():
+    """The fused Pallas fine-match kernel (interpret mode on CPU) must equal
+    the XLA lax.map path bit-for-bit in candidate structure."""
+    import jax.numpy as jnp
+    from describealign_tpu.alignment import matching, preprocess
+    from describealign_tpu.alignment.api import _bucket_pad, _stack_padded
+    from describealign_tpu.ops.features import extract_features
+    from describealign_tpu.ops.pallas_fine import fine_match_pallas
+
+    video, audio, _ = build_pair(content_seconds=14.0, narration=(),
+                                 lead_in=2.0, seed=0)
+    fs_a = [np.asarray(f) for f in extract_features(audio)]
+    fs_v = [np.asarray(f) for f in extract_features(video)]
+    na = min(len(f) for f in fs_a)
+    nv = min(len(f) for f in fs_v)
+    npad = 210 * 20
+    fa = _stack_padded(fs_a, na, npad)
+    fv = _stack_padded(fs_v, nv, npad)
+    ms_a, norms_a = preprocess.preprocess_features(fa)
+    ms_v, norms_v = preprocess.preprocess_features(fv)
+    quals, vids, centers = matching.match_pair(ms_a, norms_a, fa[0], na,
+                                               ms_v, norms_v, fv[0], nv)
+    nb = centers.shape[0]
+    a_mask = preprocess.valid_audio_mask(fa[0], na)
+    v_mask = preprocess.valid_video_mask(fv[0], nv)
+    starts = jnp.clip(
+        jnp.arange(nb, dtype=jnp.int32) * matching.BLOCK + centers
+        - matching.FINE_HALF_BAND, 0,
+        npad - (matching.FINE_W + preprocess.WINDOW - 1))
+    qp, vp = fine_match_pallas(ms_a, norms_a, a_mask.astype(jnp.float32),
+                               ms_v, norms_v, v_mask.astype(jnp.float32),
+                               starts, interpret=True)
+    qn, vn = np.asarray(quals), np.asarray(vids)
+    qpn, vpn = np.asarray(qp), np.asarray(vp)
+    # same candidate SET (f32 op-order reshuffles near-equal quals within a
+    # row's top-K slots, so compare as sets keyed by (block, frame, video))
+    def key_qual(q, v):
+        nzb, nzl, nzk = np.nonzero(q > 0)
+        return dict(zip(zip(nzb.tolist(), nzl.tolist(),
+                            v[nzb, nzl, nzk].tolist()),
+                        q[nzb, nzl, nzk].tolist()))
+    dx = key_qual(qn, vn)
+    dp = key_qual(qpn, vpn)
+    assert set(dx) == set(dp)
+    rel = [abs(dp[k] - dx[k]) / dx[k] for k in dx]
+    assert np.percentile(rel, 99) < 1e-3
+    # top-1 per frame agrees exactly
+    top1 = (vpn[:, :, 0] == vn[:, :, 0]) | ((qpn[:, :, 0] == 0)
+                                            & (qn[:, :, 0] == 0))
+    assert top1.all()
