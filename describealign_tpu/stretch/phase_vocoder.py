@@ -3,15 +3,16 @@
 The TPU-idiomatic replacement for the reference's WSOLA-style DP splicer
 (describealign.py:296-387): instead of searching jump points with Pearson
 correlations and splicing with crossfades (irregular, sequential), we STFT
-the segment, advance phases per the classic phase-vocoder recurrence with
-identity phase locking (Laroche & Dolson 1999 style), and overlap-add the
-iSTFT. Rates are within +/-10% (segment rule), where PV quality is high.
+the segment, advance phases with the classic phase-vocoder recurrence plus
+identity phase locking (Laroche & Dolson style), and overlap-add the iSTFT.
+Rates are within +/-10% (segment rule), where PV quality is high.
 
-TPU design: one compiled shape - the segment is processed in fixed-size
-output chunks; each chunk's STFT frame stack is a single batched rfft (XLA
-maps it to the MXU-friendly fused FFT). Chunks join with short crossfades
-to hide per-chunk phase resets. Sequential phase propagation is a
-lax.scan over ~700 frames of (513,) vectors - negligible.
+TPU design: ONE device dispatch per segment - all analysis windows gather
+as a single batched rfft, phase propagation is a lax.scan over frames of
+(513,) vectors, synthesis is a scatter-add overlap-add. Segment lengths are
+bucketed (geometric, x2) so a handful of compiled shapes serve any media;
+per-dispatch latency amortizes over the whole segment instead of a 4-s
+chunk (the chunked variant spent seconds of link latency per chunk).
 """
 from functools import partial
 
@@ -24,34 +25,34 @@ from ..ops.windows import hann_window
 
 N_FFT = 1024
 HOP_SYN = 256
-XFADE = 1024                              # chunk-join crossfade samples
-CHUNK_OUT = AUDIO_SAMPLE_RATE * 4         # output samples per compiled call
-FRAMES = (CHUNK_OUT + XFADE) // HOP_SYN + 1
-CHUNK_IN = int((CHUNK_OUT + XFADE) * 1.25) + 2 * N_FFT
-
-_WINDOW = hann_window(N_FFT).astype(np.float32)
-# overlap-add normalization for hann^2 at 75% overlap is constant 1.5*... we
-# compute it exactly over the chunk instead of assuming COLA
 _BINS = N_FFT // 2 + 1
+_WINDOW = hann_window(N_FFT).astype(np.float32)
+MIN_BUCKET = AUDIO_SAMPLE_RATE * 2  # segments are >= 2 s by the rules
 
 
-@partial(jax.jit, static_argnames=())
-def _pv_chunk(seg_in, rate):
-    """Stretch one chunk. seg_in: (C, CHUNK_IN) starting at the chunk's
-    first analysis sample. rate: input samples per output sample (~1 +/- .1).
-    Returns (C, CHUNK_OUT + XFADE) overlap-added output."""
+def _bucket(n):
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=('num_frames',))
+def _pv_segment(seg, rate, n_out, num_frames):
+    """seg: (C, S_pad) f32; rate: input samples per output sample;
+    n_out: true output length; num_frames: static frame count covering the
+    padded output. Returns (C, OUT_pad = num_frames*HOP_SYN + N_FFT)."""
     window = jnp.asarray(_WINDOW)
-    k = jnp.arange(FRAMES)
-    # analysis frame positions (samples, fractional -> nearest sample)
+    k = jnp.arange(num_frames)
     t_a = k.astype(jnp.float32) * (HOP_SYN * rate)
-    pos = jnp.clip(jnp.round(t_a).astype(jnp.int32), 0, CHUNK_IN - N_FFT - 1)
+    pos = jnp.clip(jnp.round(t_a).astype(jnp.int32), 0,
+                   seg.shape[1] - N_FFT - 1)
+    # zero analysis frames beyond the needed output (they stay silent)
+    frame_live = (k * HOP_SYN) < n_out
 
-    def stft_frames(x):
-        idx = pos[:, None] + jnp.arange(N_FFT)[None, :]
-        frames = x[idx] * window[None, :]
-        return jnp.fft.rfft(frames, axis=1)                  # (FRAMES, BINS)
-
-    spec = jax.vmap(stft_frames)(seg_in)                     # (C, F, BINS)
+    idx = pos[:, None] + jnp.arange(N_FFT)[None, :]       # (F, N_FFT)
+    frames = seg[:, idx] * window[None, None, :]          # (C, F, N_FFT)
+    spec = jnp.fft.rfft(frames, axis=2)                   # (C, F, BINS)
 
     omega = (2 * np.pi * np.arange(_BINS) * HOP_SYN / N_FFT).astype(np.float32)
     omega = jnp.asarray(omega)
@@ -63,13 +64,12 @@ def _pv_chunk(seg_in, rate):
         def step(carry, inp):
             prev_phase_a, prev_phase_s = carry
             phase_a, mag_k = inp
-            # heterodyned phase increment over the (true, fractional) hop
             dphi = phase_a - prev_phase_a - omega * rate
             dphi = dphi - 2 * np.pi * jnp.round(dphi / (2 * np.pi))
-            inst = omega * rate + dphi                       # per analysis hop
-            phase_s = prev_phase_s + inst / rate             # per synthesis hop
+            inst = omega * rate + dphi                    # per analysis hop
+            phase_s = prev_phase_s + inst / rate          # per synthesis hop
             # identity phase locking: slave bins inherit their dominant
-            # neighbor's phase rotation (reduces phasiness on speech)
+            # neighbor's rotation (reduces phasiness on speech)
             rot = phase_s - phase_a
             left = jnp.roll(mag_k, 1).at[0].set(0)
             right = jnp.roll(mag_k, -1).at[-1].set(0)
@@ -85,44 +85,38 @@ def _pv_chunk(seg_in, rate):
         phases = jnp.concatenate([phase[:1], phases], axis=0)
         return mag * jnp.exp(1j * phases)
 
-    spec_out = jax.vmap(propagate)(spec)                     # (C, F, BINS)
-    frames_out = jnp.fft.irfft(spec_out, n=N_FFT, axis=2) * window[None, None, :]
+    spec_out = jax.vmap(propagate)(spec)
+    frames_out = (jnp.fft.irfft(spec_out, n=N_FFT, axis=2)
+                  * window[None, None, :]
+                  * frame_live[None, :, None])
 
-    out_len = CHUNK_OUT + XFADE + N_FFT
-    out_pos = (k * HOP_SYN)[:, None] + jnp.arange(N_FFT)[None, :]  # (F, N)
+    out_len = num_frames * HOP_SYN + N_FFT
+    out_pos = (k * HOP_SYN)[:, None] + jnp.arange(N_FFT)[None, :]
+
     def ola(frames_c):
         buf = jnp.zeros((out_len,), jnp.float32)
         return buf.at[out_pos.reshape(-1)].add(frames_c.reshape(-1))
+
     out = jax.vmap(ola)(frames_out)
     wsum = jnp.zeros((out_len,), jnp.float32).at[out_pos.reshape(-1)].add(
-        jnp.tile(window ** 2, (FRAMES, 1)).reshape(-1))
-    out = out / jnp.maximum(wsum, 1e-3)
-    return out[:, :CHUNK_OUT + XFADE]
+        jnp.tile(jnp.asarray(_WINDOW) ** 2, (num_frames,)))
+    return out / jnp.maximum(wsum, 1e-3)
 
 
 def pv_stretch(seg, num_out):
-    """Stretch seg (C, n_in) to (C, num_out) with pitch preserved."""
+    """Stretch seg (C, n_in) to (C, num_out) with pitch preserved.
+
+    One device dispatch; segment and frame counts are bucketed so compiled
+    shapes are few and cached.
+    """
     seg = np.asarray(seg, np.float32)
     c, n_in = seg.shape
     rate = n_in / num_out
-    out = np.zeros((c, num_out), np.float32)
-    ramp_up = np.linspace(0., 1., XFADE, endpoint=False, dtype=np.float32)
-    for chunk_start in range(0, num_out, CHUNK_OUT):
-        n = min(CHUNK_OUT + XFADE, num_out - chunk_start)
-        in0 = int(np.floor(chunk_start * rate))
-        buf = np.zeros((c, CHUNK_IN), np.float32)
-        hi = min(in0 + CHUNK_IN, n_in)
-        if hi > in0:
-            buf[:, :hi - in0] = seg[:, in0:hi]
-        chunk = np.asarray(_pv_chunk(jnp.asarray(buf), jnp.float32(rate)))
-        piece = chunk[:, :n]
-        if chunk_start == 0:
-            out[:, :n] = piece
-        else:
-            xf = min(XFADE, n)
-            out[:, chunk_start:chunk_start + xf] = (
-                out[:, chunk_start:chunk_start + xf] * (1 - ramp_up[:xf])
-                + piece[:, :xf] * ramp_up[:xf])
-            if n > xf:
-                out[:, chunk_start + xf:chunk_start + n] = piece[:, xf:n]
+    s_pad = _bucket(n_in + N_FFT + 8)
+    seg_pad = np.zeros((c, s_pad), np.float32)
+    seg_pad[:, :n_in] = seg
+    num_frames = _bucket(num_out) // HOP_SYN + 1
+    out = _pv_segment(jnp.asarray(seg_pad), jnp.float32(rate),
+                      jnp.int32(num_out), num_frames)
+    out = np.asarray(out)[:, :num_out]
     return out.astype(np.float16).astype(np.float32)

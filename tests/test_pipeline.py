@@ -93,3 +93,17 @@ def test_alignment_cache_reused(wav_pair, tmp_path, capsys, monkeypatch):
                output_dir=str(tmp_path / "o2"), alignment_dir=plot_dir)
     assert os.path.exists(os.path.join(str(tmp_path / "o2"),
                                        "ad_episode_1.wav"))
+
+
+def test_combine_no_pitch_correction(wav_pair, tmp_path):
+    """BASELINE config 4: raw-resample stretch (--no_pitch_correction)."""
+    import describealign_tpu as da
+    video_wav, audio_wav, _ = wav_pair
+    out_dir = str(tmp_path / "out_np")
+    da.combine([video_wav], [audio_wav], stretch_audio=True, yes=True,
+               no_pitch_correction=True, output_dir=out_dir,
+               alignment_dir=str(tmp_path / "plots_np"))
+    out_file = os.path.join(out_dir, "ad_episode_1.wav")
+    assert os.path.exists(out_file)
+    out_pcm = parse_audio_from_file(out_file, 2)
+    assert np.sqrt(np.mean(out_pcm.astype(np.float64) ** 2)) > 100
