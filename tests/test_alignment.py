@@ -97,3 +97,29 @@ def test_align_batch_matches_single():
         np.testing.assert_allclose(got[1], want[1], atol=1e-6)  # video times
         assert abs(got[2] - want[2]) < 1e-9                     # similarity
         assert abs(got[4] - want[4]) < 1e-12                    # median slope
+
+
+def test_align_rate_change():
+    """A 3% speed difference (PAL-style) must be recovered in the fit and
+    the median slope (exercises the coarse DP's drift tracking and the
+    fused-lasso slope stage on non-unit slopes)."""
+    from scipy.signal import resample_poly
+    from describealign_tpu.utils.synthmedia import speech_like
+
+    content = speech_like(40.0, seed=21)
+    slowed = resample_poly(content, 103, 100)  # 3% longer
+
+    def quantize(sig):
+        x = np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+        return x[None, :].astype(np.float16).astype(np.float32)
+
+    video = quantize(content)
+    audio = quantize(np.concatenate([
+        np.asarray(speech_like(6.0, seed=1021, amp=5000.0)), slowed]))
+    x, y, similarity, path, median_slope = run_align(video, audio)
+    # audio time a maps to video time (a - 6) * 100/103
+    probes = np.linspace(8.0, 6.0 + 40.0 * 1.03 - 2.0, 9)
+    got = np.interp(probes, x, y)
+    want = (probes - 6.0) * (100.0 / 103.0)
+    np.testing.assert_allclose(got, want, atol=0.3)
+    assert abs(median_slope - 100.0 / 103.0) < 2e-3

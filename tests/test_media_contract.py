@@ -51,3 +51,87 @@ def test_get_sorted_filenames_errors(tmp_path):
     (tmp_path / "a.txt").write_bytes(b'x')
     with pytest.raises(RuntimeError, match="valid extensions"):
         get_sorted_filenames(str(tmp_path), {'mp4'})
+
+
+def test_mux_default_mode_command(monkeypatch, tmp_path):
+    """Video-retime mux: itsoffset/ss placement, setts bsf on video AND
+    subtitles, dispositions, frag_keyframe - the reference's exact contract
+    (describealign.py:489-510)."""
+    from describealign_tpu.media import mux
+
+    calls = {}
+
+    def fake_run(args, err_msg, stdin_bytes=None):
+        calls['args'] = list(args)
+        calls['stdin'] = stdin_bytes
+        return b'', b''
+
+    monkeypatch.setattr(mux, 'run_ffmpeg_command', fake_run)
+    monkeypatch.setattr(mux, 'compile_command_line',
+                        lambda args: 'ffmpeg ' + ' '.join(args))
+    cmd = mux.write_replaced_media_to_disk(
+        str(tmp_path / 'out.mp4'), None, video_file='in.mp4',
+        audio_desc_file='ad.mp3', setts_cmd='TS+(0)', video_offset=10.0,
+        after_start_key_frame=8.5, median_slope=1.02)
+    a = calls['args']
+    # audio input shifted by start_offset = 10 - 8.5
+    i_audio = a.index('ad.mp3')
+    assert a[i_audio - 1] == '-i' and a[a.index('-itsoffset')] == '-itsoffset'
+    assert '1.500000' in a[a.index('-itsoffset') + 1]
+    # video cut at the keyframe midpoint, audio-stripped, data-stripped
+    assert '-ss' in a and a[a.index('-ss') + 1] == '8.500000'
+    assert '-an' in a and '-dn' in a
+    # setts on video and subtitles; subtitle durations scaled by 1/slope
+    bsf_v = a[a.index('-bsf:v') + 1]
+    assert bsf_v == "setts=pts='TS+(0)':dts='TS+(0)'"
+    bsf_s = a[a.index('-bsf:s') + 1]
+    assert bsf_s.startswith("setts=ts='TS+(0)'")
+    assert f":duration='DURATION*{1/1.02:.6f}'" in bsf_s
+    # dispositions, fragmentation, mkv workaround
+    assert a[a.index('-disposition:a:0') + 1] == \
+        'default+visual_impaired+descriptions'
+    assert a[a.index('-metadata:s:a:0') + 1] == 'title=AD'
+    assert a[a.index('-movflags') + 1] == 'frag_keyframe'
+    assert a[a.index('-max_interleave_delta') + 1] == '0'
+    assert cmd.startswith('ffmpeg ')
+
+
+def test_mux_stretch_mode_command(monkeypatch, tmp_path):
+    """Stretch-mode mux: PCM piped on stdin as the new default AAC track,
+    original tracks stream-copied, track renaming (reference 469-488)."""
+    from describealign_tpu.media import mux
+
+    calls = {}
+
+    def fake_run(args, err_msg, stdin_bytes=None):
+        calls['args'] = list(args)
+        calls['stdin'] = stdin_bytes
+        return b'', b''
+
+    monkeypatch.setattr(mux, 'run_ffmpeg_command', fake_run)
+    monkeypatch.setattr(mux, 'compile_command_line',
+                        lambda args: 'ffmpeg ' + ' '.join(args))
+    monkeypatch.setattr(mux, 'is_first_video_track_ad', lambda f: False)
+    pcm = np.zeros((2, 1000), np.float32)
+    mux.write_replaced_media_to_disk(str(tmp_path / 'out.mkv'), pcm,
+                                     video_file='in.mkv')
+    a = calls['args']
+    assert a[a.index('-i') + 1] == 'pipe:'
+    assert calls['stdin'] == pcm.astype(np.int16).T.tobytes()
+    assert a[a.index('-c:a:0') + 1] == 'aac'
+    # output codecs (the first -acodec is the pipe input's pcm_s16le)
+    out_start = a.index('in.mkv')
+    assert a[a.index('-acodec', out_start) + 1] == 'copy'
+    assert a[a.index('-vcodec', out_start) + 1] == 'copy'
+    assert a[a.index('-scodec', out_start) + 1] == 'copy'
+    # first track isn't AD: original track gets renamed
+    assert a[a.index('-disposition:a:1') + 1] == 'original'
+    assert a[a.index('-metadata:s:a:1') + 1] == 'title=original'
+
+
+def test_cli_no_args_without_gui(capsys):
+    """No args + no wxPython: explain, then print usage (reference 1788)."""
+    from describealign_tpu.cli import command_line_interface
+    command_line_interface([])
+    out = capsys.readouterr().out
+    assert "GUI dependencies missing" in out
