@@ -23,20 +23,20 @@ from .utils.files import ensure_folders_exist, get_sorted_filenames
 PCM_BUCKET_SECONDS = 60
 
 
-def _pad_pcm(pcm):
-    quantum = AUDIO_SAMPLE_RATE * PCM_BUCKET_SECONDS
-    s = pcm.shape[1]
-    pad = (-s) % quantum
-    if pad == 0:
-        return pcm
-    return np.pad(pcm, ((0, 0), (0, pad)))
+def features_for(pcm):
+    """Bucketed feature extraction utility for module users.
 
-
-def _features_for(pcm):
-    """Bucketed feature extraction; returns (feature list, true frame count)."""
+    Zero-pads PCM to a 60-second quantum (one compiled shape per bucket)
+    and returns (feature list, true 210fps frame count) suitable for the
+    feature-list align() entry.
+    """
     from .ops.features import extract_features
+    quantum = AUDIO_SAMPLE_RATE * PCM_BUCKET_SECONDS
     true_samples = pcm.shape[1]
-    feats = extract_features(_pad_pcm(pcm))
+    pad = (-true_samples) % quantum
+    if pad:
+        pcm = np.pad(pcm, ((0, 0), (0, pad)))
+    feats = extract_features(pcm)
     return [np.asarray(f) for f in feats], true_samples // 210
 
 

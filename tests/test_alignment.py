@@ -123,3 +123,48 @@ def test_align_rate_change():
     want = (probes - 6.0) * (100.0 / 103.0)
     np.testing.assert_allclose(got, want, atol=0.3)
     assert abs(median_slope - 100.0 / 103.0) < 2e-3
+
+
+def test_match_quality_values_match_reference_formula():
+    """The matcher's candidate qualities must equal the reference's
+    Naive-Bayes form (describealign.py:662-673) computed directly with the
+    numpy oracle's mean-sub/norm pipeline."""
+    import jax.numpy as jnp
+    from describealign_tpu.alignment import lis, matching, preprocess
+    from describealign_tpu.alignment.api import _stack_padded
+    from tests import reference_impl as ref
+
+    video, audio, _ = build_pair(content_seconds=14.0, narration=(),
+                                 lead_in=2.0, seed=0)
+    fs_a = features_of(audio)
+    fs_v = features_of(video)
+    na = min(len(f) for f in fs_a)
+    nv = min(len(f) for f in fs_v)
+    npad = 210 * 20
+    fa = _stack_padded(fs_a, na, npad)
+    fv = _stack_padded(fs_v, nv, npad)
+    ms_a, norms_a = preprocess.preprocess_features(fa)
+    ms_v, norms_v = preprocess.preprocess_features(fv)
+    quals, vids, _ = matching.match_pair(ms_a, norms_a, fa[0], na,
+                                         ms_v, norms_v, fv[0], nv)
+    cand_a, cand_v, cand_q = lis.candidates_from_match_output(quals, vids)
+    assert len(cand_a) > 500
+
+    a_ms = [ref.oracle_mean_sub(np.asarray(f[:na], np.float64)) for f in fs_a]
+    v_ms = [ref.oracle_mean_sub(np.asarray(f[:nv], np.float64)) for f in fs_v]
+    a_nm = [ref.oracle_uniform_norm(x) for x in a_ms]
+    v_nm = [ref.oracle_uniform_norm(x) for x in v_ms]
+
+    rng = np.random.default_rng(0)
+    picks = rng.choice(len(cand_a), 200, replace=False)
+    for t in picks:
+        i, v, q = int(cand_a[t]), int(cand_v[t]), float(cand_q[t])
+        prob = 1.0
+        for j in range(3):
+            corr = np.dot(a_ms[j][i:i + 41], v_ms[j][v:v + 41])
+            corr /= a_nm[j][i] * v_nm[j][v]
+            prob *= max(1e-8, 1 - corr)
+        prob = prob ** 2.9
+        assert prob <= 1e-8 * 1.05, f"candidate ({i},{v}) fails the gate"
+        want = min(50.0, (prob / 1e-12) ** (-1.0 / 3))
+        assert abs(q - want) / want < 2e-3, (i, v, q, want)

@@ -1,0 +1,62 @@
+"""Unit tests for the final-output stage (similarity, nodes, extrapolation)
+and the continuity utilities - semantics per reference 702-767, 995-1027."""
+import numpy as np
+
+from describealign_tpu.alignment.continuity import (compress_path,
+                                                    continuity_filter,
+                                                    get_continuity_err)
+from describealign_tpu.alignment.outputs import similarity_and_nodes
+
+
+def make_path(n=2000, clusters=((0, 1000, 0.0), (1000, 2000, 50.0))):
+    """(M, 5) rows (video, audio, cluster, qual, cum) on cluster lines."""
+    rows = []
+    for ci, (a0, a1, offset) in enumerate(clusters):
+        for a in range(a0, a1):
+            rows.append((a + offset, a, ci, 1.0, a))
+    return np.array(rows, float)
+
+
+def test_similarity_counts_unique_nondescription_frames():
+    path = make_path()
+    x, y, sim, _ = similarity_and_nodes(path, 2500, 2500, 2500, 2500)
+    # 2000 unique frames of 2500 -> 80%
+    assert abs(sim - 80.0) < 1e-9
+
+
+def test_nodes_at_cluster_boundaries_and_extrapolation():
+    path = make_path()
+    x, y, sim, _ = similarity_and_nodes(path, 2500, 2600, 2500, 2600)
+    # boundary nodes at the cluster switch (+/- .1 frame, in seconds)
+    assert len(x) == 4
+    np.testing.assert_allclose(x[1], (999 - .1) / 210., rtol=1e-12)
+    np.testing.assert_allclose(x[2], (1000 + .1) / 210., rtol=1e-12)
+    # end segment longer than 2 s: extrapolated to the audio end
+    np.testing.assert_allclose(x[-1], (2500 - 1) / 210., rtol=1e-12)
+    # start segment extrapolates to t=0 (offset 0 line)
+    assert x[0] == 0.0 and abs(y[0]) < 1e-9
+
+
+def test_continuity_err_flags_outliers():
+    rng = np.random.default_rng(0)
+    x = np.arange(500.0)
+    y = x * 1.01 + 3 + rng.normal(0, 0.2, 500)
+    y[100] += 50.0  # gross outlier
+    err = get_continuity_err(x, y)
+    assert err[100] > 10
+    assert np.median(err) < 1.0
+    xf, yf = continuity_filter(x, y)
+    assert len(xf) < len(x)
+    assert 100.0 not in xf
+
+
+def test_compress_path_collapses_clean_runs():
+    x = np.arange(1000.0)
+    y = x + 5.0
+    cx, cy = compress_path(x, y)
+    # reference shape: first 10 raw points, 70-point runs -> means, raw tail
+    assert len(cx) < 100
+    np.testing.assert_allclose(cx[:10], np.arange(10.0))
+    np.testing.assert_allclose(np.diff(cx[10:-75])[1:-1], 70.0, atol=1e-9)
+    np.testing.assert_allclose(cy - cx, 5.0, atol=1e-9)
+    assert np.all(np.diff(cx) > 0)
