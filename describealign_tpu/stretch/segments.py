@@ -6,10 +6,13 @@ Segment rules are identical to the reference (describealign.py:389-416):
 - use the plain (pitch-shifting) resampler when pitch correction is off,
   the ratio is imperceptible (<= JUST_NOTICEABLE_DIFF_IN_FREQ_RATIO), or
   the total offset is under MIN_STRETCH_OFFSET samples
-- otherwise use the pitch-preserving stretcher (phase vocoder here; the
-  reference used a WSOLA-style DP splicer)
+- otherwise use the pitch-preserving stretcher: the phase vocoder by
+  default (TPU-idiomatic redesign), or the reference-parity WSOLA splicer
+  with DESCRIBEALIGN_STRETCH=wsola
 - same "  stretching audio: NN%" progress-line contract
 """
+import os
+
 import numpy as np
 
 from ..constants import (AUDIO_SAMPLE_RATE, JUST_NOTICEABLE_DIFF_IN_FREQ_RATIO,
@@ -46,5 +49,9 @@ def replace_aligned_segments(video_arr, audio_desc_arr, audio_desc_times,
                 or abs(total_offset[i]) < MIN_STRETCH_OFFSET):
             video_arr[:, y0:y1] = resample_segment(audio_desc_arr, x0, x1,
                                                    y1 - y0)
+        elif os.environ.get('DESCRIBEALIGN_STRETCH') == 'wsola':
+            # reference-parity splicer (describealign.py:296-387)
+            from .wsola import wsola_stretch
+            wsola_stretch(audio_desc_arr[:, x0:x1], video_arr[:, y0:y1])
         else:
             video_arr[:, y0:y1] = pv_stretch(audio_desc_arr[:, x0:x1], y1 - y0)

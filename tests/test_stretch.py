@@ -61,3 +61,39 @@ def test_pv_multichannel_and_chunk_joins():
     for boundary in range(chunk, n_out - SR, chunk):
         seg = out[:, boundary - 2048:boundary + 2048]
         assert np.sqrt(np.mean(seg ** 2)) > 500
+
+
+def test_wsola_preserves_pitch_and_samples():
+    """The reference-parity splicer: pitch unchanged, content is literal
+    copies of input spans (no resampling artifacts)."""
+    from describealign_tpu.stretch.wsola import wsola_stretch
+    rng = np.random.default_rng(3)
+    t = np.arange(int(3.0 * SR)) / SR
+    sig = (6000 * np.sin(2 * np.pi * 440 * t)
+           + 800 * rng.standard_normal(len(t))).astype(np.float32)[None, :]
+    n_out = int(sig.shape[1] * 1.06)
+    out = np.zeros((1, n_out), np.float32)
+    wsola_stretch(sig, out)
+    f = dominant_freq(out[:, SR // 2: -SR // 2])
+    assert abs(f - 440) < 3.0
+    rms_in = np.sqrt(np.mean(sig ** 2))
+    rms_out = np.sqrt(np.mean(out[:, SR // 4: -SR // 4] ** 2))
+    assert 0.7 * rms_in < rms_out < 1.3 * rms_in
+    # shrink direction too
+    n_out2 = int(sig.shape[1] * 0.94)
+    out2 = np.zeros((1, n_out2), np.float32)
+    wsola_stretch(sig, out2)
+    f2 = dominant_freq(out2[:, SR // 2: -SR // 2])
+    assert abs(f2 - 440) < 3.0
+
+
+def test_wsola_backend_selectable(monkeypatch):
+    from describealign_tpu.stretch import segments
+    monkeypatch.setenv('DESCRIBEALIGN_STRETCH', 'wsola')
+    video = tone(300, 10.0)
+    audio = tone(440, 10.5)
+    # one segment: audio [0, 10.3s] -> video [0, 10.0s] (3% stretch)
+    segments.replace_aligned_segments(
+        video, audio, np.array([0.0, 10.3]), np.array([0.0, 10.0]), False)
+    f = dominant_freq(video[:, SR:-SR])
+    assert abs(f - 440) < 3.0  # replaced with (unshifted) description pitch
