@@ -107,3 +107,25 @@ def test_combine_no_pitch_correction(wav_pair, tmp_path):
     assert os.path.exists(out_file)
     out_pcm = parse_audio_from_file(out_file, 2)
     assert np.sqrt(np.mean(out_pcm.astype(np.float64) ** 2)) > 100
+
+
+def test_combine_directory_mode_two_pairs(tmp_path):
+    """Directory inputs: natural-sort pairing, decode-ahead loop, two
+    outputs (reference combine's batch behavior, describealign.py:1077)."""
+    import describealign_tpu as da
+    vids = tmp_path / "vids"
+    auds = tmp_path / "auds"
+    vids.mkdir()
+    auds.mkdir()
+    for idx, seed in ((1, 3), (2, 11)):
+        video, audio, _ = build_pair(content_seconds=40.0, narration=(),
+                                     lead_in=6.0, seed=seed, channels=2)
+        write_wav(vids / f"show_ep{idx}.wav", video)
+        write_wav(auds / f"show_ep{idx}_described.wav", audio)
+    out_dir = str(tmp_path / "out")
+    da.combine(str(vids), str(auds), stretch_audio=True, yes=True,
+               output_dir=out_dir, alignment_dir=str(tmp_path / "plots"))
+    assert os.path.exists(os.path.join(out_dir, "ad_show_ep1.wav"))
+    assert os.path.exists(os.path.join(out_dir, "ad_show_ep2.wav"))
+    assert os.path.exists(str(tmp_path / "plots" / "show_ep1.txt"))
+    assert os.path.exists(str(tmp_path / "plots" / "show_ep2.txt"))
