@@ -18,8 +18,11 @@ def setup_jax_cache():
     try:
         import jax
         # separate cache dirs per backend: CPU AOT artifacts are machine
-        # specific and must not mix with remote-compiled TPU entries
-        platform = os.environ.get('JAX_PLATFORMS', 'default').split(',')[0]
+        # specific and must not mix with remote-compiled TPU entries.
+        # jax.config wins over the env var: conftest/dryrun override a stale
+        # JAX_PLATFORMS=axon (set by a sitecustomize hook) via the config.
+        platform = (jax.config.jax_platforms
+                    or os.environ.get('JAX_PLATFORMS', 'default')).split(',')[0]
         if platform == 'cpu':
             # CPU compiles are fast, and in remote-compile environments the
             # cached CPU AOT artifacts may target a different host CPU
