@@ -68,16 +68,14 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     print("  memorizing video...        \r", end='')
     feats_a = _stack_padded(audio_desc_features, na, _bucket_pad(na))
     feats_v = _stack_padded(video_features, nv, _bucket_pad(nv))
-    ms_a, norms_a = preprocess.preprocess_features(feats_a)
-    ms_v, norms_v = preprocess.preprocess_features(feats_v)
 
     print("  matching audio...  \r", end='')
-    quals, vids, _ = matching.match_pair(
-        ms_a, norms_a, feats_a[0], na,
-        ms_v, norms_v, feats_v[0], nv)
+    quals, offs, starts = matching.match_from_features(feats_a, na,
+                                                       feats_v, nv)
     feats_a_np = np.asarray(feats_a)
     feats_v_np = np.asarray(feats_v)
-    return _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv,
+    return _host_stages(np.asarray(quals), np.asarray(offs),
+                        np.asarray(starts), feats_a_np, feats_v_np, na, nv,
                         fit_backend)
 
 
@@ -86,6 +84,35 @@ def _pad_pcm_i16(pcm_i16):
     if pcm_i16.shape[1] == target:
         return pcm_i16  # already bucket-padded (decode-ahead thread)
     return np.pad(pcm_i16, ((0, 0), (0, target - pcm_i16.shape[1])))
+
+
+def _feature_path():
+    """Where feature extraction runs for the PCM fast paths.
+
+    'host' (default): the native C++ extractor computes the 5 feature
+    streams on the host CPU and only the ~40x-smaller f32 feature stacks
+    cross the link - the right choice on tunneled/slow host<->device links,
+    and it also skips the device-side full-rate DSP. 'device': upload int16
+    PCM and extract on the TPU (wins only when the link is fast and host
+    CPUs are scarce).
+    """
+    return os.environ.get('DESCRIBEALIGN_FEATURES', 'host')
+
+
+def host_features_padded(pcm_i16, true_samples=None):
+    """Host feature extraction into the bucket-padded (5, Npad) f32 stack.
+
+    Returns (stack, n_frames).
+    """
+    from ..ops.host_features import extract_features_host
+    n = (true_samples or pcm_i16.shape[1]) // 210
+    fs = extract_features_host(pcm_i16, n * 210)
+    npad = _bucket_pad(n)
+    out = np.zeros((5, npad), np.float32)
+    for j, f in enumerate(fs):
+        k = min(len(f), n)
+        out[j, :k] = f[:k]
+    return out, n
 
 
 def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
@@ -110,6 +137,19 @@ def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
 def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
                          video_samples=None, audio_samples=None):
     fit_backend = _default_backend(fit_backend)
+    if _feature_path() == 'host':
+        print("  memorizing video...        \r", end='')
+        feats_v_np, nv = host_features_padded(video_pcm_i16, video_samples)
+        dev_v = jax.device_put(feats_v_np)       # async upload overlaps the
+        feats_a_np, na = host_features_padded(audio_pcm_i16, audio_samples)
+        dev_a = jax.device_put(feats_a_np)       # audio extraction
+        print("  matching audio...  \r", end='')
+        quals, offs, starts = matching.match_from_features(dev_a, na,
+                                                           dev_v, nv)
+        return _host_stages(np.asarray(quals), np.asarray(offs),
+                            np.asarray(starts), feats_a_np, feats_v_np,
+                            na, nv, fit_backend)
+
     na = (audio_samples or audio_pcm_i16.shape[1]) // 210
     nv = (video_samples or video_pcm_i16.shape[1]) // 210
     print("  memorizing video...        \r", end='')
@@ -117,11 +157,12 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
     dev_a = jax.device_put(_pad_pcm_i16(audio_pcm_i16))
     dev_v = jax.device_put(_pad_pcm_i16(video_pcm_i16))
     print("  matching audio...  \r", end='')
-    quals, vids, _, feats_a, feats_v = matching.extract_and_match(
+    quals, offs, starts, feats_a, feats_v = matching.extract_and_match(
         dev_a, na, dev_v, nv)
     feats_a_np = np.asarray(feats_a)
     feats_v_np = np.asarray(feats_v)
-    return _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv,
+    return _host_stages(np.asarray(quals), np.asarray(offs),
+                        np.asarray(starts), feats_a_np, feats_v_np, na, nv,
                         fit_backend)
 
 
@@ -143,6 +184,7 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     from concurrent.futures import ThreadPoolExecutor
 
     fit_backend = _default_backend(fit_backend)
+    host_path = _feature_path() == 'host'
     b = len(pairs)
     if true_samples is None:
         true_samples = [(v.shape[1], a.shape[1]) for (v, a) in pairs]
@@ -150,6 +192,13 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     def dispatch(i):
         v, a = pairs[i]
         sv, sa = true_samples[i]
+        if host_path:
+            fv, nv = host_features_padded(v, sv)
+            dev_v = jax.device_put(fv)
+            fa, na = host_features_padded(a, sa)
+            dev_a = jax.device_put(fa)
+            out = matching.match_from_features(dev_a, na, dev_v, nv)
+            return (i, out + (fa, fv))
         dev_a = jax.device_put(_pad_pcm_i16(a))
         dev_v = jax.device_put(_pad_pcm_i16(v))
         out = matching.extract_and_match(dev_a, sa // 210, dev_v, sv // 210)
@@ -162,7 +211,8 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
         while in_flight:
             i, out = in_flight.popleft()
             quals = np.asarray(out[0])
-            vids = np.asarray(out[1])
+            offs = np.asarray(out[1])
+            starts = np.asarray(out[2])
             feats_a = np.asarray(out[3])
             feats_v = np.asarray(out[4])
             if next_i < b:
@@ -170,7 +220,7 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
                 next_i += 1
             sv, sa = true_samples[i]
             futs.append(pool.submit(
-                _host_stages, quals, vids, feats_a, feats_v,
+                _host_stages, quals, offs, starts, feats_a, feats_v,
                 sa // 210, sv // 210, fit_backend, True))
         return [f.result() for f in futs]
 
@@ -179,11 +229,10 @@ def _padded_len(s):
     return (-(-(s + PAD_MARGIN * 210) // PCM_BUCKET)) * PCM_BUCKET
 
 
-def _host_stages(quals, vids, feats_a_np, feats_v_np, na, nv, fit_backend,
-                 quiet=False):
+def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
+                 fit_backend, quiet=False):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
-    cand_a, cand_v, cand_q = lis.candidates_from_match_output(quals, vids)
-    y, x = lis.weighted_lis(cand_a, cand_v, cand_q)  # y=video, x=audio
+    y, x = lis.lis_from_match(quals, offs, starts)  # y=video, x=audio
     _fail_if_short(len(x), nv, na)
 
     if not quiet:

@@ -78,6 +78,42 @@ def weighted_lis(audio_idx, video_idx, qual):
     return weighted_lis_py(audio_idx, video_idx, qual)
 
 
+def lis_from_match(quals, offs, starts):
+    """Fused flatten + sort + LIS straight off the compressed matcher output.
+
+    quals: (B, 210, K) f32, 0 marks empty; offs: (B, 210, K) int16 band
+    offsets; starts: (B,) int32 band starts (video = starts[b] + off).
+    One C++ pass replaces the flatten/lexsort/LIS cascade - the flatten and
+    full lexsort dominated the host stages at media scale.
+    """
+    import ctypes
+    quals = np.ascontiguousarray(quals, np.float32)
+    offs = np.ascontiguousarray(offs, np.int16)
+    starts = np.ascontiguousarray(starts, np.int32)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, 'lis_from_match'):
+        nb, blk, k = quals.shape
+        cap = nb * blk * k + 1
+        out_v = np.empty(cap, np.int64)
+        out_a = np.empty(cap, np.int64)
+        out_len = ctypes.c_longlong(0)
+        rc = lib.lis_from_match(
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(k),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            ctypes.byref(out_len))
+        if rc == 0:
+            m = out_len.value
+            return out_v[:m].copy(), out_a[:m].copy()
+    vids = starts[:, None, None].astype(np.int64) + offs
+    a, v, q = candidates_from_match_output(quals, vids)
+    return weighted_lis_py(a, v, q)
+
+
 def candidates_from_match_output(quals, vids, block=210):
     """Flatten device matcher output to sorted candidate arrays.
 

@@ -178,16 +178,15 @@ def _coarse_dp(p_map):
 # Fine pass
 # ---------------------------------------------------------------------------
 
-def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask, nv_pad,
-                b, center_frames):
-    """Candidates for one 210-frame audio block around a coarse center.
+def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask,
+                b, start):
+    """Candidates for one 210-frame audio block whose video search band
+    begins at `start` (precomputed, clipped).
 
-    Returns (quals (BLOCK, TOP_K), vids (BLOCK, TOP_K)). qual == 0 marks an
-    invalid slot.
+    Returns (quals (BLOCK, TOP_K), offs (BLOCK, TOP_K) int16 band offsets;
+    video frame = start + off). qual == 0 marks an invalid slot.
     """
     a0 = b * BLOCK
-    start = a0 + center_frames - FINE_HALF_BAND
-    start = jnp.clip(start, 0, nv_pad - (FINE_W + WINDOW - 1))
 
     a_win = _windows(ms_a, a0, BLOCK)                # (5, 210, 41)
     v_win = _windows(ms_v, start, FINE_W)            # (5, 768, 41)
@@ -205,7 +204,6 @@ def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask, nv_pad,
 
     l_idx = jnp.arange(BLOCK)[:, None]
     e_idx = jnp.arange(FINE_W)[None, :]
-    v_abs = start + e_idx                             # (1, 768)
     in_band = (e_idx >= l_idx) & (e_idx <= l_idx + 2 * FINE_HALF_BAND)
     am = jax.lax.dynamic_slice_in_dim(a_mask, a0, BLOCK)
     vm = jax.lax.dynamic_slice_in_dim(v_mask, start, FINE_W)
@@ -214,8 +212,7 @@ def _fine_block(ms_a, norms_a, ms_v, norms_v, a_mask, v_mask, nv_pad,
     qual = jnp.where(valid, qual, 0.0)
 
     top_q, top_e = jax.lax.top_k(qual, TOP_K)         # (210, K)
-    top_v = start + top_e
-    return top_q, top_v.astype(jnp.int32)
+    return top_q, top_e.astype(jnp.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +228,8 @@ def extract_and_match(pcm_a_i16, len_a, pcm_v_i16, len_v):
     len_*: true 210fps frame counts. The int16 -> float16-grid -> f32 cast
     happens on device, matching the reference's storage dtype exactly.
 
-    Returns (quals, vids, center_frames, feats_a (5, Npad), feats_v) - the
+    Returns (quals (B, 210, K), offs (B, 210, K) int16 band offsets,
+    starts (B,) int32 band starts, feats_a (5, Npad), feats_v) - the
     stacked raw features come back for the host-side refinement stages, one
     D2H transfer of a few MB.
     """
@@ -254,16 +252,39 @@ def extract_and_match(pcm_a_i16, len_a, pcm_v_i16, len_v):
     feats_v = jnp.where(idx_v < len_v, feats_v, 0.0)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    quals, vids, centers = _match_core(ms_a, norms_a, feats_a[0], len_a,
-                                       ms_v, norms_v, feats_v[0], len_v)
-    return quals, vids, centers, feats_a, feats_v
+    quals, offs, starts, centers = _match_core(
+        ms_a, norms_a, feats_a[0], len_a,
+        ms_v, norms_v, feats_v[0], len_v)
+    return quals, offs, starts, feats_a, feats_v
+
+
+@partial(jax.jit, static_argnames=())
+def match_from_features(feats_a, len_a, feats_v, len_v):
+    """Host-feature fast path: stacked raw features in, compressed
+    candidates out.
+
+    feats_*: (5, Npad) f32 feature stacks (extracted on the host - ~40x
+    smaller uploads than PCM); len_*: true frame counts. Returns
+    (quals (B, 210, K) f32, offs (B, 210, K) int16 band offsets,
+    starts (B,) int32); video frame = starts[b] + off. The compressed
+    int16 offsets nearly halve the D2H transfer.
+    """
+    from .preprocess import preprocess_features
+    ms_a, norms_a = preprocess_features(feats_a)
+    ms_v, norms_v = preprocess_features(feats_v)
+    quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
+                                         ms_v, norms_v, feats_v[0], len_v)
+    return quals, offs, starts
 
 
 @partial(jax.jit, static_argnames=())
 def match_pair(feats_a, norms_a, energy_a, len_a,
                feats_v, norms_v, energy_v, len_v):
-    return _match_core(feats_a, norms_a, energy_a, len_a,
-                       feats_v, norms_v, energy_v, len_v)
+    quals, offs, starts, centers = _match_core(
+        feats_a, norms_a, energy_a, len_a,
+        feats_v, norms_v, energy_v, len_v)
+    vids = starts[:, None, None] + offs.astype(jnp.int32)
+    return quals, vids, centers
 
 
 def _match_core(feats_a, norms_a, energy_a, len_a,
@@ -273,7 +294,8 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
     energy_*: (Npad,) raw energy feature; len_*: true frame counts.
 
-    Returns (quals (B, 210, K), vids (B, 210, K), coarse_offset_frames (B,)).
+    Returns (quals (B, 210, K), offs (B, 210, K) int16, starts (B,) int32,
+    coarse_offset_frames (B,)); video frame = starts[b] + offs[b, l, k].
     """
     nv_pad = feats_v.shape[1]
     a_mask = valid_audio_mask(energy_a, len_a)
@@ -287,24 +309,25 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     # video-minus-audio offset per block, in frames
     center_frames = (v_path * COARSE_STRIDE
                      - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
+    starts = jnp.clip(
+        jnp.arange(nb, dtype=jnp.int32) * BLOCK + center_frames
+        - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
 
     if _use_pallas():
         from ..ops.pallas_fine import fine_match_pallas
-        starts = jnp.clip(
-            jnp.arange(nb, dtype=jnp.int32) * BLOCK + center_frames
-            - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
         quals, vids = fine_match_pallas(
             feats_a, norms_a, a_mask.astype(jnp.float32),
             feats_v, norms_v, v_mask.astype(jnp.float32),
             starts, interpret=_pallas_interpret())
-        return quals, vids, center_frames
+        offs = (vids - starts[:, None, None]).astype(jnp.int16)
+        return quals, offs, starts, center_frames
 
     def one_block(inp):
-        b, center = inp
+        b, start = inp
         return _fine_block(feats_a, norms_a, feats_v, norms_v,
-                           a_mask, v_mask, nv_pad, b, center)
+                           a_mask, v_mask, b, start)
 
-    quals, vids = jax.lax.map(
-        one_block, (jnp.arange(nb, dtype=jnp.int32), center_frames),
+    quals, offs = jax.lax.map(
+        one_block, (jnp.arange(nb, dtype=jnp.int32), starts),
         batch_size=32)
-    return quals, vids, center_frames
+    return quals, offs, starts, center_frames

@@ -16,13 +16,25 @@ _LIB = None
 _TRIED = False
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), '..', 'native')
-_SRC = os.path.abspath(os.path.join(_SRC_DIR, 'dp.cpp'))
+_SRCS = [os.path.abspath(os.path.join(_SRC_DIR, f))
+         for f in ('dp.cpp', 'features.cpp')]
+_SRC = _SRCS[0]
 _OUT = os.path.abspath(os.path.join(_SRC_DIR, 'libdadp.so'))
 
 
 def _build():
-    cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17', _SRC, '-o', _OUT]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native: the library is compiled lazily on the machine that
+    # runs it, so host-specific SIMD is safe (and load-bearing for the
+    # feature extractor's throughput)
+    cmd = (['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17']
+           + _SRCS + ['-o', _OUT])
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # portable fallback (older g++ / unsupported -march)
+        cmd = (['g++', '-O3', '-shared', '-fPIC', '-std=c++17']
+               + _SRCS + ['-o', _OUT])
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def native_lib():
@@ -37,15 +49,18 @@ def native_lib():
         if os.environ.get('DESCRIBEALIGN_NO_NATIVE'):
             return None
         try:
-            if not os.path.exists(_SRC):
+            if not all(os.path.exists(s) for s in _SRCS):
                 return None
             if (not os.path.exists(_OUT)
-                    or os.path.getmtime(_OUT) < os.path.getmtime(_SRC)):
+                    or any(os.path.getmtime(_OUT) < os.path.getmtime(s)
+                           for s in _SRCS)):
                 _build()
             lib = ctypes.CDLL(_OUT)
             lib.weighted_lis.restype = ctypes.c_int
+            lib.lis_from_match.restype = ctypes.c_int
             lib.refine_dp.restype = ctypes.c_int
             lib.tv1d_weighted.restype = ctypes.c_int
+            lib.extract_features_i16.restype = ctypes.c_int
             _LIB = lib
         except Exception:
             _LIB = None

@@ -72,6 +72,80 @@ int weighted_lis(const int64_t* video_idx, const int64_t* audio_idx,
   return 0;
 }
 
+// Fused flatten + sort + weighted LIS straight off the device matcher's
+// compressed output. quals: (nb, blk, k) f32 with 0 marking empty slots;
+// voffs: (nb, blk, k) int16 video offsets within the block's search band;
+// starts: (nb,) int32 band start frames (video = starts[b] + voff). The
+// audio frame of slot (b, l, *) is b*blk + l, so candidates arrive already
+// sorted by audio; each frame's <=k live slots are insertion-sorted by
+// (video, qual) to match the (audio, video, qual) processing order of
+// weighted_lis above. Outputs as in weighted_lis. Returns 0 on success.
+int lis_from_match(const float* quals, const int16_t* voffs,
+                   const int32_t* starts, int64_t nb, int64_t blk, int64_t k,
+                   int64_t* out_video, int64_t* out_audio, int64_t* out_len) {
+  if (k > 64) return 1;
+  struct Node { int64_t v, a; int64_t prev; };
+  std::vector<Node> nodes;
+  nodes.reserve(static_cast<size_t>(nb * blk) + 1);
+  nodes.push_back({-1, -1, -1});  // sentinel
+
+  struct Entry { double cum; int64_t node; };
+  std::multimap<int64_t, Entry> best;
+  best.insert({-1, {0.0, 0}});
+
+  struct Cand { int64_t v; double q; };
+  Cand cands[64];
+
+  for (int64_t b = 0; b < nb; ++b) {
+    const int64_t base = starts[b];
+    for (int64_t l = 0; l < blk; ++l) {
+      const float* qrow = quals + (b * blk + l) * k;
+      const int16_t* vrow = voffs + (b * blk + l) * k;
+      int m = 0;
+      for (int64_t j = 0; j < k; ++j) {
+        if (qrow[j] > 0.f) {
+          Cand c{base + vrow[j], static_cast<double>(qrow[j])};
+          int p = m++;  // insertion sort by (v, q) ascending
+          while (p > 0 && (cands[p - 1].v > c.v ||
+                           (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
+            cands[p] = cands[p - 1];
+            --p;
+          }
+          cands[p] = c;
+        }
+      }
+      const int64_t a = b * blk + l;
+      for (int t = 0; t < m; ++t) {
+        const int64_t v = cands[t].v;
+        auto it = best.upper_bound(v);
+        auto prev = std::prev(it);
+        const double cum = prev->second.cum + cands[t].q;
+        const int64_t prev_node = prev->second.node;
+        while (it != best.end() && it->second.cum <= cum) {
+          it = best.erase(it);
+        }
+        nodes.push_back({v, a, prev_node});
+        best.insert(it, {v, {cum, static_cast<int64_t>(nodes.size()) - 1}});
+      }
+    }
+  }
+
+  int64_t cur = best.rbegin()->second.node;
+  int64_t m = 0;
+  while (cur != 0) {
+    out_video[m] = nodes[cur].v;
+    out_audio[m] = nodes[cur].a;
+    ++m;
+    cur = nodes[cur].prev;
+  }
+  for (int64_t i = 0; i < m / 2; ++i) {
+    std::swap(out_video[i], out_video[m - 1 - i]);
+    std::swap(out_audio[i], out_audio[m - 1 - i]);
+  }
+  *out_len = m;
+  return 0;
+}
+
 // --------------------------------------------------------------------------
 // pass-2 refinement DP
 // --------------------------------------------------------------------------
