@@ -87,24 +87,44 @@ void conv_same(const float* x, int64_t n, const std::vector<float>& taps,
 // polyphase hann lowpass + decimate (reference downsample_blur, 568-573):
 // out[j] = sum_i conv_same(x[i::ds], taps(ds*blur+2)[i::ds])[j]
 // x is trimmed to a multiple of ds; out has n/ds elements.
+//
+// The per-phase 'same' convolutions collapse algebraically into ONE plain
+// FIR evaluated at stride ds: out[j] = sum_d w[d] * x[ds*(j+c) + lo + d]
+// with c = (blur-1)/2, lo = -ds*(blur-1), and w a permutation of the hann
+// taps (w[d - lo] = taps[2*(d mod ds) - d]); per-phase zero padding is
+// exactly index clipping. One contiguous dot per output vectorizes far
+// better than ds separate phase passes.
 std::vector<float> downsample_blur(const float* x, int64_t n, int ds,
                                    int blur) {
   int64_t m = n - (n % ds);
   int64_t no = m / ds;
-  std::vector<float> out(static_cast<size_t>(no), 0.f);
+  int W = ds * blur;
+  int lo = -ds * (blur - 1);
+  int c = (blur - 1) / 2;
   std::vector<float> taps = hann_taps(ds * blur + 2);
-  std::vector<float> phase(static_cast<size_t>(no));
-  std::vector<float> ptaps;
-  std::vector<float> conv(static_cast<size_t>(no));
-  for (int i = 0; i < ds; ++i) {
-    // deinterleave phase i (contiguous for the vectorized conv)
-    for (int64_t j = 0; j < no; ++j) phase[static_cast<size_t>(j)] = x[i + ds * j];
-    ptaps.clear();
-    for (size_t k = static_cast<size_t>(i); k < taps.size();
-         k += static_cast<size_t>(ds))
-      ptaps.push_back(taps[k]);
-    conv_same(phase.data(), no, ptaps, conv.data());
-    for (int64_t j = 0; j < no; ++j) out[static_cast<size_t>(j)] += conv[static_cast<size_t>(j)];
+  std::vector<float> w(static_cast<size_t>(W));
+  for (int d = lo; d < ds; ++d) {
+    int i = ((d % ds) + ds) % ds;
+    w[static_cast<size_t>(d - lo)] = taps[static_cast<size_t>(2 * i - d)];
+  }
+  std::vector<float> out(static_cast<size_t>(no));
+  for (int64_t j = 0; j < no; ++j) {
+    int64_t base = ds * (j + c) + lo;
+    int64_t klo = base < 0 ? -base : 0;
+    int64_t khi = W < m - base ? W : m - base;
+    const float* xp = x + base;
+    // 8-lane accumulators: gcc will not vectorize a plain float reduction
+    // without -ffast-math, but the fixed-width inner loop maps to one
+    // vector FMA (and keeps a deterministic summation order)
+    float acc[8] = {0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f};
+    int64_t k = klo;
+    for (; k + 8 <= khi; k += 8)
+      for (int u = 0; u < 8; ++u)
+        acc[u] += w[static_cast<size_t>(k + u)] * xp[k + u];
+    float s = ((acc[0] + acc[1]) + (acc[2] + acc[3]))
+              + ((acc[4] + acc[5]) + (acc[6] + acc[7]));
+    for (; k < khi; ++k) s += w[static_cast<size_t>(k)] * xp[k];
+    out[static_cast<size_t>(j)] = s;
   }
   return out;
 }
@@ -136,43 +156,64 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     lut_init = true;
   }
 
-  // --- f16-grid squares, shared by energy and (mono) bands -----------------
-  // sq[i] = sum_c f16(pcm[c,i])^2; mono[i] = f16(pcm[0,i]) for channels==1
-  std::vector<float> mono(channels == 1 ? static_cast<size_t>(samples) : 0);
-  std::vector<float> sq(static_cast<size_t>(samples));
-  if (channels == 1) {
-    const int16_t* p = pcm;
-    for (int64_t i = 0; i < samples; ++i) {
-      float v = lut[static_cast<uint16_t>(p[i])];
-      mono[static_cast<size_t>(i)] = v;
-      sq[static_cast<size_t>(i)] = v * v;
-    }
-  } else {
-    for (int64_t i = 0; i < samples; ++i) {
-      float v = lut[static_cast<uint16_t>(pcm[i])];
-      sq[static_cast<size_t>(i)] = v * v;
-    }
-    for (int64_t c = 1; c < channels; ++c) {
-      const int16_t* p = pcm + c * samples;
-      for (int64_t i = 0; i < samples; ++i) {
-        float v = lut[static_cast<uint16_t>(p[i])];
-        sq[static_cast<size_t>(i)] += v * v;
+  // --- fused front pass: f16-grid channel mix + block energy ---------------
+  // one pass over the PCM produces the band-cascade input (per-sample
+  // f16-grid value / f16 channel mean) and the per-105-block square sums
+  // the energy feature needs; no full-rate intermediate is materialized
+  // twice.
+  int64_t n_arr = samples - samples % 210;
+  std::vector<float> arr(static_cast<size_t>(n_arr));
+  int64_t ne = samples / 105;
+  std::vector<float> energy(static_cast<size_t>(ne));
+  {
+    float inv = 1.f / (105.f * static_cast<float>(channels));
+    if (channels == 1) {
+      const int16_t* p = pcm;
+      for (int64_t b = 0; b < ne; ++b) {
+        float s = 0.f;
+        const int64_t i0 = b * 105;
+        if (i0 + 105 <= n_arr) {
+          float* dst = arr.data() + i0;
+          const int16_t* q = p + i0;
+          for (int k = 0; k < 105; ++k) {
+            float v = lut[static_cast<uint16_t>(q[k])];
+            dst[k] = v;
+            s += v * v;
+          }
+        } else {
+          for (int k = 0; k < 105; ++k) {
+            float v = lut[static_cast<uint16_t>(p[i0 + k])];
+            if (i0 + k < n_arr) arr[static_cast<size_t>(i0 + k)] = v;
+            s += v * v;
+          }
+        }
+        energy[static_cast<size_t>(b)] = s * inv;
+      }
+    } else {
+      // numpy float16 mean over channels: f16 pairwise sum, then /channels
+      for (int64_t b = 0; b < ne; ++b) {
+        float s = 0.f;
+        const int64_t i0 = b * 105;
+        for (int k = 0; k < 105; ++k) {
+          const int64_t i = i0 + k;
+          float m = lut[static_cast<uint16_t>(pcm[i])];
+          s += m * m;
+          for (int64_t c = 1; c < channels; ++c) {
+            float v = lut[static_cast<uint16_t>(pcm[c * samples + i])];
+            s += v * v;
+            m = f16_grid(m + v);
+          }
+          if (i < n_arr)
+            arr[static_cast<size_t>(i)] =
+                f16_grid(m / static_cast<float>(channels));
+        }
+        energy[static_cast<size_t>(b)] = s * inv;
       }
     }
   }
 
   // --- energy (reference 545-555) -----------------------------------------
   {
-    int64_t n = samples - samples % 105;
-    int64_t ne = n / 105;
-    std::vector<float> energy(static_cast<size_t>(ne));
-    float inv = 1.f / (105.f * static_cast<float>(channels));
-    for (int64_t b = 0; b < ne; ++b) {
-      const float* p = sq.data() + b * 105;
-      float s = 0.f;
-      for (int k = 0; k < 105; ++k) s += p[k];
-      energy[static_cast<size_t>(b)] = s * inv;
-    }
     std::vector<float> smooth(static_cast<size_t>(ne));
     conv_same(energy.data(), ne, hann_taps(15), smooth.data());
     int64_t no = (ne + 1) / 2;
@@ -209,22 +250,6 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
 
   // --- freq bands (reference 568-593) --------------------------------------
   {
-    int64_t n = samples - samples % 210;
-    std::vector<float> arr(static_cast<size_t>(n));
-    if (channels == 1) {
-      std::memcpy(arr.data(), mono.data(), static_cast<size_t>(n) * 4);
-    } else {
-      // numpy float16 mean over channels: f16 pairwise sum, then /channels
-      // (exact for the power-of-two channel counts in practice)
-      for (int64_t i = 0; i < n; ++i) {
-        float s = lut[static_cast<uint16_t>(pcm[i])];
-        for (int64_t c = 1; c < channels; ++c)
-          s = f16_grid(s + lut[static_cast<uint16_t>(pcm[c * samples + i])]);
-        arr[static_cast<size_t>(i)] =
-            f16_grid(s / static_cast<float>(channels));
-      }
-    }
-
     const int downsamples[3] = {5, 7, 6};
     int64_t decimation = 1;
     std::vector<float> cur = std::move(arr);
@@ -236,20 +261,25 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
       std::vector<float> bottom;
       if (stage < 2) bottom = downsample_blur(cur.data(), m, ds, 3);
       decimation *= ds;
-      std::vector<float> band_energy(static_cast<size_t>(nb), 0.f);
+      std::vector<float> band_energy(static_cast<size_t>(nb));
       if (stage < 2) {
-        for (int i = 0; i < ds; ++i)
-          for (int64_t j = 0; j < nb; ++j) {
-            float d = cur[static_cast<size_t>(j * ds + i)]
-                      - bottom[static_cast<size_t>(j)];
-            band_energy[static_cast<size_t>(j)] += d * d;
+        for (int64_t j = 0; j < nb; ++j) {
+          const float* p = cur.data() + j * ds;
+          const float b = bottom[static_cast<size_t>(j)];
+          float s = 0.f;
+          for (int i = 0; i < ds; ++i) {
+            float d = p[i] - b;
+            s += d * d;
           }
+          band_energy[static_cast<size_t>(j)] = s;
+        }
       } else {
-        for (int i = 0; i < ds; ++i)
-          for (int64_t j = 0; j < nb; ++j) {
-            float d = cur[static_cast<size_t>(j * ds + i)];
-            band_energy[static_cast<size_t>(j)] += d * d;
-          }
+        for (int64_t j = 0; j < nb; ++j) {
+          const float* p = cur.data() + j * ds;
+          float s = 0.f;
+          for (int i = 0; i < ds; ++i) s += p[i] * p[i];
+          band_energy[static_cast<size_t>(j)] = s;
+        }
       }
       std::vector<float> band = downsample_blur(
           band_energy.data(), nb, static_cast<int>(210 / decimation), 15);
