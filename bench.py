@@ -67,19 +67,35 @@ def main():
         times.append(time.time() - t)
     e2e = min(times)
 
-    # batch mode: 8 pairs through the pipelined device dispatch + threaded
-    # host stages
+    # batch mode: 8 DISTINCT pairs (per-pair gain + lead-in trim -> distinct
+    # samples, lengths, and planted offsets) through the pipelined device
+    # dispatch + threaded host stages
     from describealign_tpu.alignment.api import align_batch_from_pcm
     n_batch = 8
-    pairs = [(video, audio)] * n_batch
-    lens = [(sv, sa)] * n_batch
+    pairs, lens, planted = [], [], []
+    for k in range(n_batch):
+        gain = 0.6 + 0.05 * k
+        trim = 44100 * 5 * k              # drop 5k seconds of audio lead-in
+        vk = (video.astype(np.float32) * gain).astype(np.int16)
+        ak = (audio[:, trim:].astype(np.float32) * gain).astype(np.int16)
+        ak = _pad_pcm_i16(ak)
+        pairs.append((vk, ak))
+        lens.append((sv, sa - trim))
+        planted.append(202.0 - 5.0 * k)
+    # warm both possible bucket shapes (the largest trim may cross a
+    # 64-s bucket boundary) so no compile lands in the timed section
     with redirect_stdout(quiet):
-        align_batch_from_pcm(pairs[:2], true_samples=lens[:2])  # warm path
+        align_batch_from_pcm([pairs[0], pairs[-1]],
+                             true_samples=[lens[0], lens[-1]])
     t = time.time()
     with redirect_stdout(quiet):
-        align_batch_from_pcm(pairs, true_samples=lens)
+        results = align_batch_from_pcm(pairs, true_samples=lens)
     batch_wall = time.time() - t
-    batch_tput = n_batch * audio_minutes / batch_wall
+    batch_minutes = sum(s_a / 44100.0 / 60.0 for (_, s_a) in lens)
+    batch_tput = batch_minutes / batch_wall
+    batch_offsets_ok = all(
+        abs(float(r[0][0] - r[1][0]) - p) < 1.0
+        for r, p in zip(results, planted))
 
     result = {
         "metric": "e2e_align_22min_pair_seconds",
@@ -87,6 +103,7 @@ def main():
         "unit": "seconds",
         "vs_baseline": round(30.0 / e2e, 2),
         "batch8_audio_minutes_per_second_per_chip": round(batch_tput, 2),
+        "batch8_distinct_offsets_recovered": batch_offsets_ok,
         "similarity_percent": round(float(sim), 2),
         "recovered_start_offset_s": round(start_offset, 2),
         "planted_start_offset_s": 202.0,

@@ -144,7 +144,8 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
         if IS_RUNNING_WINDOWS and len(full_output_filename) >= 260:
             print("  WARNING: very long output path, ffmpeg may fail...")
 
-        cached = aligncache.load(alignment_dir, video_file, audio_desc_file)
+        cached = aligncache.load(alignment_dir, video_file, audio_desc_file,
+                                 num_channels)
         video_arr = audio_desc_arr = None
         if cached is not None and not stretch_audio:
             print("  using cached alignment...\r", end='')
@@ -170,7 +171,7 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
                                          video_samples=video_samples,
                                          audio_samples=audio_samples)
                 aligncache.save(alignment_dir, video_file, audio_desc_file,
-                                outputs)
+                                outputs, num_channels)
             del video_i16, audio_i16
         audio_desc_times, video_times, similarity_percent, path, median_slope \
             = outputs

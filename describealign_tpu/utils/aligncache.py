@@ -15,11 +15,15 @@ import numpy as np
 from .hashing import get_version_hash
 
 
-def _pair_key(video_file, audio_file):
+def _pair_key(video_file, audio_file, num_channels):
     h = hashlib.sha1()
     for f in (video_file, audio_file):
         st = os.stat(f)
         h.update(f"{os.path.abspath(f)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    # the decode channel count follows the mode (1 default / 2 stretch,
+    # reference describealign.py:1096) and changes the feature numerics
+    # (ZCR doubling, channel-mean bands), so it is part of the key
+    h.update(f"|ch{int(num_channels)}|".encode())
     h.update(get_version_hash().encode())
     return h.hexdigest()[:16]
 
@@ -29,14 +33,15 @@ def cache_path(alignment_dir, video_file):
     return os.path.join(alignment_dir, f"{stem}.aligncache.npz")
 
 
-def load(alignment_dir, video_file, audio_file):
+def load(alignment_dir, video_file, audio_file, num_channels=1):
     """Return the cached align() outputs or None."""
     path = cache_path(alignment_dir, video_file)
     if not os.path.exists(path):
         return None
     try:
         data = np.load(path, allow_pickle=False)
-        if str(data['key']) != _pair_key(video_file, audio_file):
+        if str(data['key']) != _pair_key(video_file, audio_file,
+                                         num_channels):
             return None
         return (data['audio_times'], data['video_times'],
                 float(data['similarity']), data['path'],
@@ -45,12 +50,12 @@ def load(alignment_dir, video_file, audio_file):
         return None
 
 
-def save(alignment_dir, video_file, audio_file, outputs):
+def save(alignment_dir, video_file, audio_file, outputs, num_channels=1):
     audio_times, video_times, similarity, path, median_slope = outputs
     try:
         np.savez_compressed(
             cache_path(alignment_dir, video_file),
-            key=_pair_key(video_file, audio_file),
+            key=_pair_key(video_file, audio_file, num_channels),
             audio_times=audio_times, video_times=video_times,
             similarity=similarity, path=path, median_slope=median_slope)
     except Exception:
