@@ -50,7 +50,15 @@ QUAL_MAX = 50.0             # reference 672
 NB_EXPONENT = 2.9           # reference 669
 BAND_GATE = 0.2             # gate threshold for band2/band3 agreement
 DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
-DP_JUMP_COST = 8.0          # cost of a free jump (skips/offsets)
+# Cost of a free jump (skips/offsets). The coarse track's job is RECALL -
+# the fine pass's prob/band gates and the LIS/fit filter spurious segments -
+# so jumps are cheap: an excursion to a true content segment nets ~2.2-2.5
+# score/block over noise lanes, and 2 jumps at 4.0 make segments >= ~3-4 s
+# worth visiting (the reference's hash index has no length penalty at all;
+# its min replaceable segment is 2 s). 8.0 made the DP corner-cut 7-s
+# segments between adjacent skips (tests/test_reference_parity.py
+# test_parity_skip_heavy).
+DP_JUMP_COST = 4.0
 
 
 def _use_pallas():

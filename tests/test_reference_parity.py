@@ -1,0 +1,158 @@
+"""Full-align parity against the ACTUAL reference implementation.
+
+The reference module (/root/reference/describealign.py) is imported and
+executed in place - never copied - and its align() (lines 595-1027) is run
+on synthetic pairs next to ours. Both sides get the same feature arrays
+(computed by the reference's own extractors), so this compares the
+alignment algorithms end to end: hash-bin matching + LIS + linprog +
+pass-2 vs our coarse-DP + banded-MXU matching + fused-lasso + pass-2.
+
+Acceptance (BASELINE.md): recovered mappings within 0.25 s, similarity
+within a few percent, median slope within 2e-3.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from describealign_tpu.utils.synthmedia import speech_like
+
+REF_DIR = "/root/reference"
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def ref():
+    # stub modules the reference imports at module scope but that align()
+    # never touches (and that are absent from this environment)
+    for name, attrs in (("natsort", {"os_sorted": sorted}),
+                        ("static_ffmpeg", {"add_paths": lambda: None}),
+                        ("ffmpeg", {})):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    sys.path.insert(0, REF_DIR)
+    try:
+        import describealign as ref_mod
+    finally:
+        sys.path.remove(REF_DIR)
+    return ref_mod
+
+
+def _quantize(sig):
+    x = np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+    return x[None, :].astype(np.float16)
+
+
+def _features(ref, pcm_f16):
+    return [ref.get_energy(pcm_f16), ref.get_zero_crossings(pcm_f16)] \
+        + ref.get_freq_bands(pcm_f16)
+
+
+def _run_both(ref, video_f16, audio_f16):
+    import describealign_tpu as da
+    vf = _features(ref, video_f16)
+    af = _features(ref, audio_f16)
+    r = ref.align([np.asarray(f) for f in vf], [np.asarray(f) for f in af],
+                  np.asarray(vf[0]), np.asarray(af[0]))
+    o = da.align([np.asarray(f, np.float32) for f in vf],
+                 [np.asarray(f, np.float32) for f in af],
+                 np.asarray(vf[0], np.float32), np.asarray(af[0], np.float32))
+    return r, o
+
+
+def _assert_mapping_parity(r, o, probes, tol_s=0.25, sim_tol=8.0,
+                           slope_tol=2e-3):
+    r_x, r_y = np.asarray(r[0], float), np.asarray(r[1], float)
+    o_x, o_y = np.asarray(o[0], float), np.asarray(o[1], float)
+    # compare the piecewise-linear audio->video mappings at interior probes
+    lo = max(r_x[0], o_x[0]) + 0.5
+    hi = min(r_x[-1], o_x[-1]) - 0.5
+    probes = probes[(probes >= lo) & (probes <= hi)]
+    assert len(probes) >= 5
+    r_map = np.interp(probes, r_x, r_y)
+    o_map = np.interp(probes, o_x, o_y)
+    err = np.abs(r_map - o_map)
+    assert err.max() < tol_s, (err.max(), probes[np.argmax(err)])
+    assert abs(float(r[2]) - float(o[2])) < sim_tol, (r[2], o[2])
+    assert abs(float(r[4]) - float(o[4])) < slope_tol, (r[4], o[4])
+
+
+def test_parity_offset_only(ref):
+    content = speech_like(60.0, seed=31)
+    video = _quantize(content)
+    audio = _quantize(np.concatenate(
+        [speech_like(8.0, seed=1031, amp=5000.0), content]))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(9, 66, 30))
+    # both must recover the 8 s start offset
+    assert abs((r[0][0] - r[1][0]) - 8.0) < 0.3
+    assert abs((o[0][0] - o[1][0]) - 8.0) < 0.3
+
+
+def test_parity_insertions(ref):
+    content = speech_like(60.0, seed=32)
+    video = _quantize(content)
+    pieces = [speech_like(4.0, seed=1032, amp=5000.0),
+              content[:int(20 * SR)],
+              speech_like(3.0, seed=2032, amp=5000.0),
+              content[int(20 * SR):int(41 * SR)],
+              speech_like(5.0, seed=3032, amp=5000.0),
+              content[int(41 * SR):]]
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(5, 70, 40))
+
+
+def test_parity_rate_change(ref):
+    from scipy.signal import resample_poly
+    content = speech_like(50.0, seed=33)
+    slowed = resample_poly(content, 103, 100)
+    video = _quantize(content)
+    audio = _quantize(np.concatenate(
+        [speech_like(6.0, seed=1033, amp=5000.0), slowed]))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(8, 55, 30))
+    assert abs(float(r[4]) - 100.0 / 103.0) < 2e-3
+    assert abs(float(o[4]) - 100.0 / 103.0) < 2e-3
+
+
+def test_parity_skip_heavy(ref):
+    """Many small narration insertions (the 'skips from ~10 min in'
+    structure of the Ask Dad episode, README.md:75)."""
+    content = speech_like(80.0, seed=34)
+    pieces = [speech_like(5.0, seed=1034, amp=5000.0)]
+    cursor = 0.0
+    for k, cut in enumerate((12.0, 25.0, 37.0, 52.0, 64.0, 71.0)):
+        pieces.append(content[int(cursor * SR):int(cut * SR)])
+        pieces.append(speech_like(2.0 + (k % 3), seed=4034 + k, amp=5000.0))
+        cursor = cut
+    pieces.append(content[int(cursor * SR):])
+    video = _quantize(content)
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(6, 95, 45))
+
+
+def test_parity_low_similarity(ref):
+    """Half the description content doesn't exist in the video: both
+    implementations should report reduced similarity and still align the
+    overlapping half consistently."""
+    shared = speech_like(40.0, seed=35)
+    video = _quantize(np.concatenate(
+        [shared[:int(20 * SR)], speech_like(20.0, seed=5035),
+         shared[int(20 * SR):]]))
+    audio = _quantize(np.concatenate(
+        [speech_like(6.0, seed=1035, amp=5000.0), shared]))
+    r, o = _run_both(ref, video, audio)
+    # similarity drops on both sides and agrees loosely
+    assert float(r[2]) < 95.0 and float(o[2]) < 95.0
+    assert abs(float(r[2]) - float(o[2])) < 12.0
+    # mappings agree on the shared first half
+    probes = np.linspace(7, 24, 12)
+    r_map = np.interp(probes, np.asarray(r[0], float), np.asarray(r[1], float))
+    o_map = np.interp(probes, np.asarray(o[0], float), np.asarray(o[1], float))
+    assert np.abs(r_map - o_map).max() < 0.35
