@@ -19,6 +19,59 @@ class FFmpegNotFoundError(RuntimeError):
     pass
 
 
+def get_static_ffmpeg_version():
+    """Installed static_ffmpeg PACKAGE major version (reference
+    describealign.py:519-525). Compiled binaries bundle a known-good
+    version and skip the check."""
+    if "__compiled__" in globals() or getattr(__import__('sys'), 'frozen',
+                                              False):
+        return 3.0
+    import importlib.metadata
+    return float(importlib.metadata.version('static_ffmpeg')[:2])
+
+
+def evict_stale_static_binaries():
+    """Force a refetch when static_ffmpeg's cached BINARIES predate ffmpeg
+    v6 (reference describealign.py:528-543: the installed.crumb records
+    the ffmpeg_bins release the binaries came from; pre-v6 builds lack
+    setts features the default mode depends on).
+
+    Returns True when usable (v6+) binaries are already present.
+    """
+    try:
+        import static_ffmpeg.run as sfr
+        crumb = os.path.join(sfr.get_platform_dir(), "installed.crumb")
+    except Exception:
+        return False
+    if not os.path.exists(crumb):
+        return False
+    try:
+        with open(crumb) as f:
+            line = f.readline()
+        version = float(line.split("ffmpeg_bins/raw/main/v")[1].split("/")[0])
+    except (IndexError, ValueError, OSError):
+        return False
+    if version < 6:
+        print("Old ffmpeg version detected, updating to newer version...")
+        try:
+            os.remove(crumb)
+        except OSError:
+            pass
+        return False
+    return True
+
+
+def _fetch_static_ffmpeg():
+    """Download binaries via static_ffmpeg (reference 1065-1073 contract:
+    requires the package itself to be v3+, evicts pre-v6 binaries)."""
+    import static_ffmpeg.run as sfr
+    if not evict_stale_static_binaries():
+        if get_static_ffmpeg_version() < 3:
+            print("  ERROR: outdated static_ffmpeg version")
+            raise ImportError("static_ffmpeg must be at least version 3.0")
+    return sfr._get_or_fetch_platform_executables_else_raise_no_lock()
+
+
 def _discover(name, env_var):
     path = os.environ.get(env_var)
     if path and os.path.isfile(path):
@@ -27,13 +80,18 @@ def _discover(name, env_var):
     if path:
         return path
     try:  # optional: the reference's static_ffmpeg distribution mechanism
-        import static_ffmpeg.run as sfr
-        ffmpeg_bin, ffprobe_bin = \
-            sfr._get_or_fetch_platform_executables_else_raise_no_lock()
+        ffmpeg_bin, ffprobe_bin = _fetch_static_ffmpeg()
         return ffmpeg_bin if name == 'ffmpeg' else ffprobe_bin
     except Exception:
         pass
     return None
+
+
+def _reset_discovery_cache():
+    """Testing hook: forget memoized binary paths."""
+    global _FFMPEG_PATH, _FFPROBE_PATH
+    _FFMPEG_PATH = None
+    _FFPROBE_PATH = None
 
 
 def get_ffmpeg():

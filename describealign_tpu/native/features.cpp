@@ -190,7 +190,9 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
         energy[static_cast<size_t>(b)] = s * inv;
       }
     } else {
-      // numpy float16 mean over channels: f16 pairwise sum, then /channels
+      // numpy float16 mean over channels accumulates in FLOAT32 and rounds
+      // once (np.mean special-cases f16); per-step f16 rounding would
+      // overflow to inf on clipped full-scale stereo (32768 + 32768)
       for (int64_t b = 0; b < ne; ++b) {
         float s = 0.f;
         const int64_t i0 = b * 105;
@@ -201,7 +203,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
           for (int64_t c = 1; c < channels; ++c) {
             float v = lut[static_cast<uint16_t>(pcm[c * samples + i])];
             s += v * v;
-            m = f16_grid(m + v);
+            m += v;
           }
           if (i < n_arr)
             arr[static_cast<size_t>(i)] =

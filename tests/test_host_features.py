@@ -59,6 +59,20 @@ def test_host_features_quantizes_to_f16_grid():
         np.testing.assert_allclose(g, w, rtol=5e-5, atol=5e-6)
 
 
+def test_host_features_fullscale_stereo_no_overflow():
+    """Clipped full-scale stereo: the f16 channel mean must accumulate in
+    f32 like numpy (per-step f16 rounding overflows 32768+32768 to inf)."""
+    rng = np.random.default_rng(14)
+    mono = (rng.standard_normal(44100 * 6) * 30000)
+    pcm = np.clip(np.round(mono), -32768, 32767).astype(np.int16)
+    pcm = np.repeat(pcm[None, :], 2, axis=0)          # duplicated channels
+    got = extract_features_host(pcm)
+    assert all(np.isfinite(g).all() for g in got)
+    want = _oracle(pcm.astype(np.float16))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=5e-5, atol=5e-6)
+
+
 def test_lis_from_match_equals_python_reference():
     from describealign_tpu.alignment import lis
     rng = np.random.default_rng(21)
