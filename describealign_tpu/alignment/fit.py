@@ -42,6 +42,67 @@ def compute_jump_costs(x, y):
     return jump_costs / np.maximum(1, np.sqrt(cerr / 3.0))
 
 
+JUMP_DETECT_FRAMES = 10.0   # interval position residual that marks a jump
+
+
+def l1_refine_segment_slopes(x, y, seg_id, slopes, iters=25):
+    """Re-estimate each fused slope-segment by POSITION-anchored L1 fit.
+
+    The fused-lasso stage models slope error with a per-interval linear
+    cost (min(2,jc)*dx), which loses the LP's span leverage: in the LP a
+    slope bias accumulates NODE error over the whole segment, so its
+    optimum pins the slope with ~1/span precision while the 1-D lasso's
+    TV shrinkage biases plateaus by O(noise). Fix: within each slope
+    segment, split the nodes into runs at jump-like intervals (single
+    intervals whose position residual exceeds JUMP_DETECT_FRAMES - offset
+    jumps live inside slope segments by construction), then IRLS-fit a
+    COMMON slope with free per-run L1 intercepts. Matches HiGHS slopes to
+    ~1e-4 on long segments (tests/test_fit_stress.py).
+
+    seg_id: per-interval segment index (n-1,); slopes: per-interval
+    initial values (a refined copy is returned).
+    """
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    out = np.asarray(slopes, float).copy()
+    xd = np.diff(x)
+    r_obs = np.diff(y) / xd
+    for k in range(int(seg_id.max()) + 1):
+        iv = np.flatnonzero(seg_id == k)
+        n_nodes = len(iv) + 1
+        if n_nodes < 8:
+            continue
+        s = out[iv[0]]
+        # split nodes into runs at jump-like intervals
+        jumpish = np.abs(r_obs[iv] - s) * xd[iv] > JUMP_DETECT_FRAMES
+        run_id = np.concatenate([[0], np.cumsum(jumpish.astype(int))])
+        nodes = np.arange(iv[0], iv[-1] + 2)
+        xs, ys = x[nodes], y[nodes]
+        runs = [np.flatnonzero(run_id == rr) for rr in range(run_id[-1] + 1)]
+        runs = [rr for rr in runs if len(rr) >= 2]
+        if not runs or max(len(rr) for rr in runs) < 4:
+            continue
+        a = np.array([np.median(ys[rr] - s * xs[rr]) for rr in runs])
+        for _ in range(iters):
+            num = den = 0.0
+            for j, rr in enumerate(runs):
+                res = ys[rr] - a[j] - s * xs[rr]
+                w = 1.0 / np.maximum(np.abs(res), 1e-3)
+                sw = np.sum(w)
+                xw = np.sum(w * xs[rr]) / sw
+                yw = np.sum(w * ys[rr]) / sw
+                # within-run centering absorbs the intercepts
+                num += np.sum(w * (xs[rr] - xw) * (ys[rr] - yw))
+                den += np.sum(w * (xs[rr] - xw) ** 2)
+            if den <= 0:
+                break
+            s = num / den
+            for j, rr in enumerate(runs):
+                a[j] = np.median(ys[rr] - s * xs[rr])
+        out[iv] = s
+    return out
+
+
 def solve_l1_fit(x, y, backend='highs'):
     """Fit the piecewise-linear model; see module docstring.
 
@@ -52,9 +113,12 @@ def solve_l1_fit(x, y, backend='highs'):
     y = np.asarray(y, np.float64)
     if backend == 'highs':
         return _solve_linprog(x, y)
-    elif backend in ('native', 'device', 'tv'):
+    elif backend in ('native', 'tv'):
         from .fit_tv import solve_l1_fit_tv
         return solve_l1_fit_tv(x, y)
+    elif backend == 'device':
+        from .fit_device import solve_l1_fit_device
+        return solve_l1_fit_device(x, y)
     raise ValueError(f"unknown fit backend: {backend}")
 
 

@@ -32,7 +32,8 @@ import ctypes
 
 import numpy as np
 
-from .fit import RATE_CHANGE_COST, compute_jump_costs
+from .fit import (RATE_CHANGE_COST, compute_jump_costs,
+                  l1_refine_segment_slopes)
 from .native import native_lib
 
 IRLS_ITERS = 12
@@ -175,6 +176,9 @@ def solve_l1_fit_tv(x, y):
     for k in range(seg_id.max() + 1):
         sel = seg_id == k
         slopes[sel] = np.average(theta[sel], weights=xd[sel])
+    # de-bias long segments: the lasso's per-interval cost underprices
+    # slope error vs the LP's accumulated node error (see fit.py helper)
+    slopes = l1_refine_segment_slopes(x, y, seg_id, slopes)
 
     # ---- stage 2: piecewise-constant offsets with sparse jumps ------------
     node_slope = np.concatenate([slopes, slopes[-1:]])

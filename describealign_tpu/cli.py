@@ -61,9 +61,10 @@ def command_line_interface(argv=None):
     parser.add_argument('--version', action='store_true',
                         help='Checks and prints the installed version.')
     parser.add_argument('--fit_backend', default=None,
-                        choices=['native', 'highs'],
+                        choices=['native', 'device', 'highs'],
                         help='Piecewise-linear fit solver: "native" (exact '
-                             'fused-lasso cascade, default) or "highs" '
+                             'host fused-lasso cascade, default), "device" '
+                             '(on-TPU ADMM + cyclic reduction), or "highs" '
                              '(scipy LP cross-check).')
     args = parser.parse_args(argv[1:])
 
