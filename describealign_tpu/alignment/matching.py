@@ -273,16 +273,18 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
 
     feats_*: (5, Npad) f32 feature stacks (extracted on the host - ~40x
     smaller uploads than PCM); len_*: true frame counts. Returns
-    (quals (B, 210, K) f32, offs (B, 210, K) int16 band offsets,
-    starts (B,) int32); video frame = starts[b] + off. The compressed
-    int16 offsets nearly halve the D2H transfer.
+    (quals (B, 210, K) f16, offs (B, 210, K) int16 band offsets,
+    starts (B,) int32); video frame = starts[b] + off. The f16 qualities
+    and int16 offsets cut the D2H transfer 2.7x; f16 keeps ~3 decimal
+    digits of a quality bounded at 50, well inside the formula's own
+    tolerance (the LIS only consumes relative quality sums).
     """
     from .preprocess import preprocess_features
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
     quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
                                          ms_v, norms_v, feats_v[0], len_v)
-    return quals, offs, starts
+    return quals.astype(jnp.float16), offs, starts
 
 
 @partial(jax.jit, static_argnames=())

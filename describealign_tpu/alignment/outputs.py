@@ -21,20 +21,24 @@ def similarity_and_nodes(path, num_audio, num_video,
     y, x, cluster_indices, quals, _ = path.T
 
     nondesc = (quals == 0) | (quals > .3)
-    sim_x = float(len(set(x[nondesc].tolist()))) / num_audio
-    sim_y = float(len(set(y[nondesc].tolist()))) / num_video
+    sim_x = len(np.unique(x[nondesc])) / num_audio
+    sim_y = len(np.unique(y[nondesc])) / num_video
     similarity_percent = 100 * max(sim_x, sim_y)
 
-    nodes = []
+    parts = []
     if cluster_indices[0] == cluster_indices[1]:
-        nodes.append((x[0], y[0]))
-    for i in range(len(x) - 1):
-        if cluster_indices[i] != cluster_indices[i + 1]:
-            nodes.append((x[i] - .1, y[i] - .1))
-            nodes.append((x[i + 1] + .1, y[i + 1] + .1))
+        parts.append(np.array([[x[0], y[0]]]))
+    breaks = np.flatnonzero(cluster_indices[:-1] != cluster_indices[1:])
+    if len(breaks):
+        inter = np.empty((2 * len(breaks), 2))
+        inter[0::2, 0] = x[breaks] - .1
+        inter[0::2, 1] = y[breaks] - .1
+        inter[1::2, 0] = x[breaks + 1] + .1
+        inter[1::2, 1] = y[breaks + 1] + .1
+        parts.append(inter)
     if cluster_indices[-2] == cluster_indices[-1]:
-        nodes.append((x[-1], y[-1]))
-    nx, ny = np.array(nodes).T / 210.
+        parts.append(np.array([[x[-1], y[-1]]]))
+    nx, ny = np.concatenate(parts).T / 210.
 
     # extrapolate the first/last linear segments to the media bounds
     if (nx[1] - nx[0]) > 2:

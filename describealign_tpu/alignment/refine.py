@@ -178,13 +178,19 @@ def build_points_flat(line_clusters, audio_scaled, video_scaled):
     pj = np.concatenate(all_j)
     pc = np.concatenate(all_c)
     pq = np.concatenate(all_q)
-    # dedupe (frame, int(video)) keeping the first occurrence in cluster
-    # processing order (np.unique's return_index is the smallest index)
+    # ONE stable sort on the composite (frame, int(video)) key both dedupes
+    # (keep the first occurrence in cluster processing order = smallest
+    # original index, which stable sort puts first in each equal-key run)
+    # and yields the final (frame, video, cluster, qual) order: after the
+    # dedupe each frame has unique int(video), so ordering by the key IS
+    # ordering by fractional video position too.
     keys = pi * np.int64(nv + 2) + pj.astype(np.int64)
-    _, first = np.unique(keys, return_index=True)
-    pi, pj, pc, pq = pi[first], pj[first], pc[first], pq[first]
-    order = np.lexsort((pq, pc, pj, pi))
-    pi, pj, pc, pq = pi[order], pj[order], pc[order], pq[order]
+    order = np.argsort(keys, kind='stable')
+    keys = keys[order]
+    first = np.ones(len(keys), bool)
+    first[1:] = keys[1:] != keys[:-1]
+    sel = order[first]
+    pi, pj, pc, pq = pi[sel], pj[sel], pc[sel], pq[sel]
     offsets = np.zeros(na + 1, np.int64)
     np.cumsum(np.bincount(pi, minlength=na), out=offsets[1:])
     return pj, pc, pq, offsets
