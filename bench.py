@@ -21,11 +21,29 @@ import time
 import numpy as np
 
 
+BENCH_PAIR_CACHE = "/tmp/describealign_bench_pair_v1.npz"
+
+
 def build_scale_pair():
+    """The Ask-Dad-scale synthetic pair, cached on disk (generation is
+    transcendental-heavy, ~1 min on a loaded host; the pair is a pure
+    function of these constants so the cache never goes stale)."""
+    if os.path.exists(BENCH_PAIR_CACHE):
+        try:
+            z = np.load(BENCH_PAIR_CACHE)
+            return z["video"], z["audio"], None
+        except Exception:
+            pass
     from describealign_tpu.utils.synthmedia import build_pair
     narr = tuple((120.0 + 150.0 * k, 12.0) for k in range(8))
-    return build_pair(content_seconds=1320.0, narration=narr, lead_in=202.0,
-                      seed=42)
+    video, audio, segments = build_pair(content_seconds=1320.0,
+                                        narration=narr, lead_in=202.0,
+                                        seed=42)
+    try:
+        np.savez(BENCH_PAIR_CACHE, video=video, audio=audio)
+    except Exception:
+        pass
+    return video, audio, segments
 
 
 def run_once(video_i16, audio_i16, sv, sa):
