@@ -66,99 +66,119 @@ def _pearson_corrs(signal, negative, jumps, window_size=WINDOW_SIZE,
         start_w = end_w
 
 
+def _jump_menu(total_offset, window_size):
+    """Behavioral constants of the reference splicer (describealign.py:
+    301-308): the default self-similarity lags, widened (or replaced by the
+    full lag range) when the requested offset is small enough that the
+    Frobenius coin problem makes it unreachable from the default menu."""
+    menu = [506, 451, 284, 410, 480, 379, 308, 430, 265, 494]
+    if abs(total_offset) >= 10000:
+        return menu
+    if abs(total_offset) > 1000:
+        return menu + [MIN_STRETCH_OFFSET + (1 << p) - 1 for p in range(8)]
+    return list(range(MIN_STRETCH_OFFSET, window_size))
+
+
+def _shifted(row, k, width):
+    """dst[d] = row[d + k] with +inf outside; the DP's drift re-labeling."""
+    out = np.full(width, np.inf)
+    if k >= 0:
+        out[:width - k] = row[k:]
+    else:
+        out[-k:] = row[:width + k]
+    return out
+
+
 def wsola_stretch(input_seg, output, window_size=WINDOW_SIZE,
                   max_drift=MAX_DRIFT):
     """Fill `output` (C, n_out) with a pitch-preserving stretch of
     `input_seg` (C, n_in) by repeating/skipping self-similar spans.
 
-    Reference semantics (describealign.py:296-387): a DP over windows and
-    accumulated drift chooses where to jump; jumps are spliced with Hann
-    crossfades. Output longer than input -> backward jumps (repeats);
-    shorter -> forward jumps (skips).
+    Reference semantics (describealign.py:296-387): a DP over (window,
+    accumulated drift from the nominal linear schedule) chooses where to
+    repeat or skip a lag-sized span; chosen joins are spliced with Hann
+    crossfades. Output longer than input -> repeats; shorter -> skips.
     """
     n_in = input_seg.shape[1]
     n_out = output.shape[1]
     total_offset = n_out - n_in
-    drift_width = max_drift * 2 + 1
-    jumps = [506, 451, 284, 410, 480, 379, 308, 430, 265, 494]
-    # widen the jump menu near Frobenius-coin-problem regimes (ref 301-308)
-    if abs(total_offset) < 10000:
-        if abs(total_offset) > 1000:
-            jumps.extend(MIN_STRETCH_OFFSET + off
-                         for off in (2 ** np.arange(8)) - 1)
-        else:
-            jumps = list(range(MIN_STRETCH_OFFSET, window_size))
+    width = max_drift * 2 + 1
+    jumps = _jump_menu(total_offset, window_size)
     num_windows = n_in // window_size
 
-    def offset_at(w):
-        return (total_offset * min(num_windows - 1, max(0, w))) \
-            // (num_windows - 1)
+    def scheduled(w):
+        """Nominal (monotone) drift after window w."""
+        w = min(num_windows - 1, max(0, w))
+        return (total_offset * w) // (num_windows - 1)
 
-    def offset_diff(w):
-        return abs(offset_at(w) - offset_at(w - 1))
+    def sched_step(w):
+        return abs(scheduled(w) - scheduled(w - 1))
 
-    backptr = np.zeros((num_windows, drift_width), np.int16)
-    best_jump_locations = np.zeros((num_windows, len(jumps)), np.int16)
-    cum_loss = np.full((3, drift_width), np.inf)
-    cum_loss[1:, max_drift] = 0
-    last_diff = 0
-    gen = _pearson_corrs(input_seg, total_offset > 0, jumps)
+    # forward DP. State: accumulated |drift - schedule| axis (index
+    # max_drift = on schedule). A jump must come from TWO windows back so
+    # crossfades never overlap (ref 340-343); hence two rolling rows.
+    choice = np.zeros((num_windows, width), np.int16)      # 0=stay, 1+ji=jump
+    jump_at = np.zeros((num_windows, len(jumps)), np.int16)
+    prev = np.full(width, np.inf)        # cum loss, window w-1
+    prev2 = np.full(width, np.inf)       # cum loss, window w-2
+    prev[max_drift] = prev2[max_drift] = 0.0
+    step_prev = 0
+    corr_stream = _pearson_corrs(input_seg, total_offset > 0, jumps)
+    lane = np.arange(width)
     for w in range(num_windows):
-        corrs = next(gen)
-        best_jump_locations[w] = np.argmax(corrs, axis=0)
-        best_losses = 1 - corrs[best_jump_locations[w],
-                                np.arange(corrs.shape[1])]
-        diff = offset_diff(w)
-        diff2 = diff + last_diff
-        losses = np.full((len(jumps) + 1, drift_width), np.inf)
-        # option 0: no jump; shift loss from the corresponding drift
-        losses[0, :drift_width - diff] = cum_loss[(w - 1) % 3, diff:]
+        corrs = next(corr_stream)                     # (window, n_jumps)
+        best_loc = np.argmax(corrs, axis=0)
+        jump_at[w] = best_loc
+        jump_loss = 1.0 - corrs[best_loc, np.arange(len(jumps))]
+        step = sched_step(w)
+        two_step = step + step_prev
+        cands = np.empty((1 + len(jumps), width))
+        cands[0] = _shifted(prev, step, width)        # follow the schedule
         for ji, jump in enumerate(jumps):
-            trunc = diff2 - jump
-            dst = slice(jump, drift_width - max(0, trunc))
-            src = slice(diff2, drift_width + min(0, trunc))
-            # jump from two windows back (skipping one avoids overlapping
-            # crossfades, ref 340-343)
-            losses[ji + 1, dst] = cum_loss[(w - 2) % 3, src] + best_losses[ji]
-        best = np.argmin(losses, axis=0)
-        backptr[w] = best
-        cum_loss[w % 3] = losses[best, np.arange(drift_width)]
-        last_diff = diff
+            row = _shifted(prev2, two_step - jump, width) + jump_loss[ji]
+            row[:jump] = np.inf                       # drift cannot go
+            cands[1 + ji] = row                       # below the jump size
+        pick = np.argmin(cands, axis=0)
+        choice[w] = pick
+        cur = cands[pick, lane]
+        prev2, prev = prev, cur
+        step_prev = step
 
-    # traceback: recover jump positions
-    drift = max_drift
-    chosen = []
-    skip = False
-    for w in range(num_windows - 1, -1, -1):
-        drift += offset_diff(w + 1)
-        if skip:
-            skip = False
+    # backtrace: walk the drift axis back through the schedule, collecting
+    # (position, lag) for every window where a jump was taken
+    joins = []
+    d = max_drift
+    w = num_windows - 1
+    while w >= 0:
+        d += sched_step(w + 1)
+        ji = int(choice[w, d]) - 1
+        if ji < 0:
+            w -= 1
             continue
-        ji = backptr[w, drift] - 1
-        if ji == -1:
-            continue
-        jump = jumps[ji]
-        pos = w * window_size + int(best_jump_locations[w, ji])
-        drift -= jump
-        skip = True
-        chosen.append((pos, jump))
-    chosen.reverse()
-    chosen = np.array(chosen, np.int64).reshape(-1, 2)
-    if total_offset > 0:
-        chosen[:, 1] *= -1
+        lag = jumps[ji]
+        joins.append((w * window_size + int(jump_at[w, ji]), lag))
+        d -= lag
+        w -= 2          # the jump consumed the in-between window too
+        d += sched_step(w + 2)
+    joins.reverse()
 
-    # splice the copied spans with Hann crossfades (ref 374-387)
-    starts_in = np.concatenate(([0], chosen[:, 0] + chosen[:, 1]))
-    ends_in = np.concatenate((chosen[:, 0], [n_in]))
-    lengths = ends_in - starts_in
-    ends_out = np.cumsum(lengths)
-    starts_out = np.concatenate(([0], ends_out[:-1]))
+    sign = -1 if total_offset > 0 else 1
+    cut_end = np.array([p for p, _ in joins] + [n_in], np.int64)
+    cut_start = np.array([0] + [p + sign * lag for p, lag in joins], np.int64)
+
+    # splice: bulk-copy each span, then Hann-crossfade at every join
+    # (head + tail of hann(2W+1) sum to 1, so the first span is exact)
+    out_end = np.cumsum(cut_end - cut_start)
+    out_start = out_end - (cut_end - cut_start)
     bump = hann_window(2 * window_size + 1)
-    head = bump[:window_size]
-    tail = bump[window_size:-1]
+    head, tail = bump[:window_size], bump[window_size:-1]
     output[:, :window_size] = input_seg[:, :window_size]
-    for si, ei, so, eo in zip(starts_in, ends_in, starts_out, ends_out):
-        output[:, so:so + window_size] *= tail
-        output[:, so:so + window_size] += input_seg[:, si:si + window_size] * head
+    for k in range(len(cut_start)):
+        si, ei, so, eo = cut_start[k], cut_end[k], out_start[k], out_end[k]
+        if k > 0:
+            prev_ei = cut_end[k - 1]
+            output[:, so:so + window_size] = (
+                input_seg[:, prev_ei:prev_ei + window_size] * tail
+                + input_seg[:, si:si + window_size] * head)
         output[:, so + window_size:eo + window_size] = \
             input_seg[:, si + window_size:ei + window_size]
