@@ -64,7 +64,9 @@ PATH_TOL = {"skips": 2.0, "noise": 2.0, "rate": 8.0}
 
 @pytest.mark.parametrize("regime", ["skips", "rate", "noise"])
 def test_fit_backends_agree_randomized(regime):
-    rng = np.random.default_rng(hash(regime) % 2**32)
+    import zlib
+    rng = np.random.default_rng(zlib.crc32(regime.encode()))  # stable seed
+    # (builtin hash() is salted per process - it made failures flaky)
     worst = {"dev": 0.0, "lp": 0.0, "slope_dev": 0.0, "slope_lp": 0.0}
     for trial in range(N_SEEDS):
         x, y, y_true = _make_path(rng, regime)
