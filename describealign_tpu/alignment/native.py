@@ -61,6 +61,7 @@ def native_lib():
             lib.refine_dp.restype = ctypes.c_int
             lib.tv1d_weighted.restype = ctypes.c_int
             lib.extract_features_i16.restype = ctypes.c_int
+            lib.pv_phase_lock.restype = ctypes.c_int
             _LIB = lib
         except Exception:
             _LIB = None

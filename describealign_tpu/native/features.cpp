@@ -295,4 +295,49 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   return 0;
 }
 
+// Phase-vocoder phase propagation with identity phase locking (the frame
+// recurrence of stretch/phase_vocoder.py: the LOCKED phase carries
+// forward, so frames are inherently sequential; bins vectorize).
+//   phase_a:        (C, F, BINS) analysis phases (f32)
+//   mag:            (C, F, BINS) magnitudes (f32)
+//   inst_over_rate: (C, F-1, BINS) per-hop phase increments (f32)
+//   phases (out):   (C, F, BINS) locked synthesis phases
+// Returns 0 on success.
+int pv_phase_lock(const float* phase_a, const float* mag,
+                  const float* inst_over_rate, int64_t c, int64_t f,
+                  int64_t bins, float* phases) {
+  if (f < 1 || bins < 2) return 1;
+  std::vector<float> rot(static_cast<size_t>(bins));
+  for (int64_t ch = 0; ch < c; ++ch) {
+    const float* pa = phase_a + ch * f * bins;
+    const float* mg = mag + ch * f * bins;
+    const float* io = inst_over_rate + ch * (f - 1) * bins;
+    float* out = phases + ch * f * bins;
+    std::memcpy(out, pa, static_cast<size_t>(bins) * 4);
+    const float* prev = out;                    // locked phases, frame k-1
+    for (int64_t k = 1; k < f; ++k) {
+      const float* pak = pa + k * bins;
+      const float* mgk = mg + k * bins;
+      const float* iok = io + (k - 1) * bins;
+      float* cur = out + k * bins;
+      for (int64_t b = 0; b < bins; ++b)
+        rot[static_cast<size_t>(b)] = prev[b] + iok[b] - pak[b];
+      for (int64_t b = 0; b < bins; ++b) {
+        const float m = mgk[b];
+        const float lm = b > 0 ? mgk[b - 1] : 0.f;
+        const float rm = b + 1 < bins ? mgk[b + 1] : 0.f;
+        float r = rot[static_cast<size_t>(b)];
+        if (lm > m && lm > rm) {
+          r = rot[static_cast<size_t>(b - 1)];
+        } else if (rm > m) {
+          r = rot[static_cast<size_t>(b + 1)];
+        }
+        cur[b] = pak[b] + r;
+      }
+      prev = cur;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -103,15 +103,114 @@ def _pv_segment(seg, rate, n_out, num_frames):
     return out / jnp.maximum(wsum, 1e-3)
 
 
+def _phase_lock(phase_a, mag, inst_over_rate):
+    """Locked synthesis phases (native C++; numpy fallback). The frame
+    recurrence is sequential because the locked phase is the carry."""
+    import ctypes
+
+    from ..alignment.native import native_lib
+
+    c, f, bins = phase_a.shape
+    lib = native_lib()
+    if lib is not None and hasattr(lib, 'pv_phase_lock'):
+        phases = np.empty_like(phase_a)
+        rc = lib.pv_phase_lock(
+            phase_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mag.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            inst_over_rate.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(c), ctypes.c_int64(f), ctypes.c_int64(bins),
+            phases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc == 0:
+            return phases
+    phases = np.empty_like(phase_a)
+    phases[:, 0] = phase_a[:, 0]
+    prev_locked = phase_a[:, 0].copy()
+    for k in range(1, f):
+        rot = prev_locked + inst_over_rate[:, k - 1] - phase_a[:, k]
+        m = mag[:, k]
+        left_m = np.roll(m, 1, axis=1)
+        left_m[:, 0] = 0
+        right_m = np.roll(m, -1, axis=1)
+        right_m[:, -1] = 0
+        dom_rot = np.where(left_m > np.maximum(m, right_m),
+                           np.roll(rot, 1, axis=1),
+                           np.where(right_m > m, np.roll(rot, -1, axis=1),
+                                    rot))
+        prev_locked = phase_a[:, k] + dom_rot
+        phases[:, k] = prev_locked
+    return phases
+
+
+def _pv_host(seg, rate, num_out):
+    """Host phase vocoder: the same math as _pv_segment, fully vectorized
+    numpy/scipy (the phase recurrence is a plain cumsum over frames, and
+    phase locking is pointwise - no sequential loop needed). Exists for the
+    link-aware path: stretched segments are full-length f32 PCM, so on a
+    slow tunneled link the device round-trip costs far more than the FFTs
+    do on the host."""
+    import scipy.fft
+
+    c, n_in = seg.shape
+    f = -(-num_out // HOP_SYN)                      # frames with k*HOP < out
+    pad = np.zeros((c, n_in + N_FFT + 8), np.float32)
+    pad[:, :n_in] = seg
+    k = np.arange(f)
+    pos = np.clip(np.round(k * (HOP_SYN * rate)).astype(np.int64), 0,
+                  pad.shape[1] - N_FFT - 1)
+    idx = pos[:, None] + np.arange(N_FFT)[None, :]
+    frames = pad[:, idx] * _WINDOW[None, None, :]
+    spec = scipy.fft.rfft(frames, axis=2)           # (C, F, BINS) complex64
+
+    omega = (2 * np.pi * np.arange(_BINS) * HOP_SYN / N_FFT).astype(np.float32)
+    mag = np.abs(spec).astype(np.float32)
+    phase_a = np.angle(spec).astype(np.float32)
+    # all-frames phase increments are vectorized; the frame recurrence stays
+    # a loop because the LOCKED phase is what carries forward (identity
+    # phase locking with dominant-neighbor rotations, as in _pv_segment)
+    dphi = phase_a[:, 1:] - phase_a[:, :-1] - omega[None, None, :] * rate
+    dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+    inst_over_rate = np.ascontiguousarray(
+        (omega[None, None, :] * rate + dphi) / rate, np.float32)
+    phases = _phase_lock(np.ascontiguousarray(phase_a),
+                         np.ascontiguousarray(mag), inst_over_rate)
+    # stay in single precision: 1j*phases would promote to complex128
+    spec_out = np.empty(phases.shape, np.complex64)
+    np.multiply(mag, np.cos(phases), out=spec_out.real)
+    np.multiply(mag, np.sin(phases), out=spec_out.imag)
+    frames_out = (scipy.fft.irfft(spec_out, n=N_FFT, axis=2)
+                  * _WINDOW[None, None, :]).astype(np.float32)
+
+    out_len = f * HOP_SYN + N_FFT
+    out = np.zeros((c, out_len), np.float32)
+    wsum = np.zeros(out_len, np.float32)
+    w2 = (_WINDOW * _WINDOW).astype(np.float32)
+    for g in range(N_FFT // HOP_SYN):               # 4 shifted group adds
+        lo = g * HOP_SYN
+        out[:, lo:lo + f * HOP_SYN] += \
+            frames_out[:, :, lo:lo + HOP_SYN].reshape(c, f * HOP_SYN)
+        wsum[lo:lo + f * HOP_SYN] += np.tile(w2[lo:lo + HOP_SYN], f)
+    return out[:, :num_out] / np.maximum(wsum[None, :num_out], 1e-3)
+
+
+def _pv_backend():
+    """'host' (default: full-length f32 segments over a slow tunneled link
+    cost more to ship than to FFT on the host) or 'device'."""
+    import os
+    return os.environ.get('DESCRIBEALIGN_PV', 'host')
+
+
 def pv_stretch(seg, num_out):
     """Stretch seg (C, n_in) to (C, num_out) with pitch preserved.
 
-    One device dispatch; segment and frame counts are bucketed so compiled
-    shapes are few and cached.
+    Host numpy/scipy by default (link-aware); DESCRIBEALIGN_PV=device runs
+    the bucketed one-dispatch JAX kernel instead (same math).
     """
     seg = np.asarray(seg, np.float32)
     c, n_in = seg.shape
     rate = n_in / num_out
+    if _pv_backend() != 'device':
+        out = _pv_host(seg, rate, num_out)
+        return out.astype(np.float16).astype(np.float32)
     s_pad = _bucket(n_in + N_FFT + 8)
     seg_pad = np.zeros((c, s_pad), np.float32)
     seg_pad[:, :n_in] = seg
