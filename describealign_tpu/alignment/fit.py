@@ -117,8 +117,19 @@ def solve_l1_fit(x, y, backend='highs'):
         from .fit_tv import solve_l1_fit_tv
         return solve_l1_fit_tv(x, y)
     elif backend == 'device':
+        # ADMM is iterative: guard the result and fall back to the exact
+        # host cascade on non-convergence (mirrors the reference LP's
+        # dual-simplex -> interior-point fallback, describealign.py:841-844)
         from .fit_device import solve_l1_fit_device
-        return solve_l1_fit_device(x, y)
+        result = solve_l1_fit_device(x, y)
+        ok = (np.isfinite(result['smooth_y']).all()
+              and np.isfinite(result['slopes']).all()
+              and np.median(np.abs(result['fit_err'])) < 50.0)
+        if ok:
+            return result
+        print("  WARNING: device fit did not converge, using native...")
+        from .fit_tv import solve_l1_fit_tv
+        return solve_l1_fit_tv(x, y)
     raise ValueError(f"unknown fit backend: {backend}")
 
 

@@ -133,12 +133,16 @@ def freq_band_features(pcm):
     return bands
 
 
-@partial(jax.jit, static_argnames=('num_channels',))
-def _extract(pcm, num_channels):
+@partial(jax.jit, static_argnames=('num_channels', 'frontend'))
+def _extract(pcm, num_channels, frontend='cascade'):
     del num_channels  # shape-static; kept for cache keying clarity
     energy = energy_feature(pcm)
     zcr = zero_crossing_feature(pcm)
-    bands = freq_band_features(pcm)
+    if frontend == 'mel':
+        from .mel import mel_band_features
+        bands = mel_band_features(pcm)
+    else:
+        bands = freq_band_features(pcm)
     return (energy, zcr) + tuple(bands)
 
 
@@ -147,7 +151,9 @@ def extract_features(pcm):
 
     Returns a tuple of 5 f32 device arrays at 210 fps. Lengths may differ by
     one frame between streams (energy keeps a half-block tail), matching the
-    reference exactly.
+    reference exactly. DESCRIBEALIGN_FRONTEND=mel swaps streams 2-4 for the
+    optional mel filterbank (ops/mel.py; not parity-preserving).
     """
+    from .mel import frontend_name
     pcm = jnp.asarray(pcm, jnp.float32)
-    return _extract(pcm, pcm.shape[0])
+    return _extract(pcm, pcm.shape[0], frontend_name())

@@ -91,6 +91,13 @@ def extract_features_host(pcm_i16, true_samples=None):
     # a strided view, and the ctypes call below hands C++ the raw buffer
     pcm_i16 = np.ascontiguousarray(pcm_i16, np.int16)
 
+    from .mel import frontend_name
+    if frontend_name() == 'mel':
+        from .mel import mel_band_features_host
+        pcm_f16 = pcm_i16.astype(np.float16)
+        feats = _numpy_features(pcm_f16)
+        return feats[:2] + mel_band_features_host(pcm_f16)
+
     lib = native_lib()
     if lib is not None and hasattr(lib, 'extract_features_i16'):
         stride = s // 210 + 2
