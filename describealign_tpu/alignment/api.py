@@ -42,6 +42,9 @@ def _stack_padded(features, nmin, npad):
 
 
 def _fail_if_short(path_len, num_video, num_audio):
+    # exact reference semantics (describealign.py:698, 991): the floor is
+    # min(video frames, audio frames)/500 (capped below by 5*210), applied
+    # after both the LIS pass and the pass-2 DP
     if path_len < max(min(num_video, num_audio) / 500., 5 * 210):
         raise RuntimeError("Alignment failed, are the input files mismatched?")
 

@@ -83,6 +83,7 @@ def l1_refine_segment_slopes(x, y, seg_id, slopes, iters=25):
         if not runs or max(len(rr) for rr in runs) < 4:
             continue
         a = np.array([np.median(ys[rr] - s * xs[rr]) for rr in runs])
+        s_prev = s
         for _ in range(iters):
             num = den = 0.0
             for j, rr in enumerate(runs):
@@ -99,6 +100,9 @@ def l1_refine_segment_slopes(x, y, seg_id, slopes, iters=25):
             s = num / den
             for j, rr in enumerate(runs):
                 a[j] = np.median(ys[rr] - s * xs[rr])
+            if abs(s - s_prev) < 1e-8:      # converged (typ. 5-8 iters)
+                break
+            s_prev = s
         out[iv] = s
     return out
 

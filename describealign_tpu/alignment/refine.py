@@ -30,13 +30,24 @@ EXTEND_RADIUS = 210 * 30
 def build_line_clusters(smooth_path, slopes):
     """Steps 1-2a: colinear clustering + merge (reference 860-893)."""
     slopes_plus_ends = np.hstack((slopes[:1], slopes, slopes[-1:]))
+    px_arr = np.asarray([p[0] for p in smooth_path], float)
+    py_arr = np.asarray([p[1] for p in smooth_path], float)
+    n = len(px_arr)
+    # both candidate lines per point, keys rounded vectorized (the python
+    # round() per point dominated this stage at media scale); append order
+    # stays point-major like the reference (merge tests read endpoints)
+    ks = []
+    for s_arr in (slopes_plus_ends[:n], slopes_plus_ends[1:n + 1]):
+        ks.append((np.round(s_arr, 6).tolist(),
+                   np.round(py_arr - s_arr * px_arr, 0).astype(np.int64)
+                   .tolist(),
+                   ((s_arr >= .1) & (s_arr <= 10)).tolist()))
     colinear = defaultdict(list)
-    for i, (px, py) in enumerate(smooth_path):
-        for slope in slopes_plus_ends[i:i + 2]:
-            if (slope < .1) or (slope > 10):
-                continue
-            offset = py - slope * px
-            colinear[(round(slope, 6), int(round(offset, 0)))].append((px, py))
+    pts = list(zip(px_arr.tolist(), py_arr.tolist()))
+    for i in range(n):
+        for keys_s, keys_o, ok in ks:
+            if ok[i]:
+                colinear[(keys_s[i], keys_o[i])].append(pts[i])
 
     line_clusters = []
     added = set()
