@@ -207,24 +207,29 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
         out = matching.extract_and_match(dev_a, sa // 210, dev_v, sv // 210)
         return (i, out)
 
+    def pull_and_refine(i, out):
+        # runs in a pool thread: the D2H pulls release the GIL, so the
+        # link-bound transfer of pair i overlaps the CPU-bound feature
+        # extraction of pair i+1 happening on the main thread
+        quals = np.asarray(out[0])
+        offs = np.asarray(out[1])
+        starts = np.asarray(out[2])
+        feats_a = np.asarray(out[3])
+        feats_v = np.asarray(out[4])
+        sv, sa = true_samples[i]
+        return _host_stages(quals, offs, starts, feats_a, feats_v,
+                            sa // 210, sv // 210, fit_backend, True)
+
     in_flight = deque(dispatch(i) for i in range(min(device_depth, b)))
     next_i = len(in_flight)
     futs = []
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
         while in_flight:
             i, out = in_flight.popleft()
-            quals = np.asarray(out[0])
-            offs = np.asarray(out[1])
-            starts = np.asarray(out[2])
-            feats_a = np.asarray(out[3])
-            feats_v = np.asarray(out[4])
+            futs.append(pool.submit(pull_and_refine, i, out))
             if next_i < b:
                 in_flight.append(dispatch(next_i))
                 next_i += 1
-            sv, sa = true_samples[i]
-            futs.append(pool.submit(
-                _host_stages, quals, offs, starts, feats_a, feats_v,
-                sa // 210, sv // 210, fit_backend, True))
         return [f.result() for f in futs]
 
 
