@@ -237,6 +237,24 @@ def _padded_len(s):
     return (-(-(s + PAD_MARGIN * 210) // PCM_BUCKET)) * PCM_BUCKET
 
 
+def warmup_compile(max_minutes):
+    """Pre-compile the device matcher for every feature-bucket shape a
+    media file of up to `max_minutes` can produce (the results land in the
+    persistent compilation cache, so first real runs skip the multi-minute
+    compile). Tiny deterministic inputs; output values are discarded."""
+    buckets = sorted({_bucket_pad(int(m * 60 * 210))
+                      for m in np.arange(1.0, max_minutes + 1.0)})
+    for i, npad in enumerate(buckets):
+        for npad_v in {npad, buckets[min(i + 1, len(buckets) - 1)]}:
+            print(f"  compiling bucket {npad}x{npad_v}...      \r", end='')
+            fa = np.zeros((5, npad), np.float32)
+            fv = np.zeros((5, npad_v), np.float32)
+            fa[0, :210 * 30] = fv[0, :210 * 30] = 1.0
+            out = matching.match_from_features(fa, 210 * 30, fv, 210 * 30)
+            np.asarray(out[0])
+    print(f"warmed {len(buckets)} shape buckets.            ")
+
+
 def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
                  fit_backend, quiet=False):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""

@@ -60,6 +60,11 @@ def command_line_interface(argv=None):
                              "exit (meant for privileged installer processes).")
     parser.add_argument('--version', action='store_true',
                         help='Checks and prints the installed version.')
+    parser.add_argument('--warmup', type=float, default=None, metavar='MIN',
+                        help='Pre-compile the alignment programs for media '
+                             'up to MIN minutes long and exit (first-time '
+                             'compilation can take minutes per shape '
+                             'bucket; the results are cached persistently).')
     parser.add_argument('--fit_backend', default=None,
                         choices=['native', 'device', 'highs'],
                         help='Piecewise-linear fit solver: "native" (exact '
@@ -81,6 +86,9 @@ def command_line_interface(argv=None):
         from .media.ffmpeg import get_ffmpeg, get_ffprobe
         os.chmod(get_ffmpeg(), 0o755)
         os.chmod(get_ffprobe(), 0o755)
+    elif args.warmup is not None:
+        from .alignment.api import warmup_compile
+        warmup_compile(args.warmup)
     elif args.video and args.audio:
         if args.fit_backend:
             os.environ['DESCRIBEALIGN_FIT_BACKEND'] = args.fit_backend
