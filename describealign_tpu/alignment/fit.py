@@ -38,6 +38,10 @@ def compute_jump_costs(x, y):
     (reference 776-779)."""
     n = len(x)
     jump_costs = np.full(n - 1, JUMP_COST_BASE)
+    if n <= 2 * 29 + 1:     # too short for the continuity window (can't
+        return jump_costs   # happen via align(): its path floor is 5*210
+                            # frames -> >= 15 compressed nodes, but the fit
+                            # is a public API)
     cerr = get_continuity_err(x, y, deriv=True)
     return jump_costs / np.maximum(1, np.sqrt(cerr / 3.0))
 

@@ -85,3 +85,19 @@ def test_tv_weighted_l2_kkt():
                     # p_k = kappa_k*sign(jump); our q_k = -p_k
                     assert abs(q[k] + np.sign(jump) * kappa[k]) < 1e-6, \
                         f"trial {trial} edge {k}: active-edge KKT"
+
+
+def test_fit_tiny_node_counts_all_backends():
+    """The fit is a public API: node counts below the continuity window
+    (possible only outside align(), whose path floor guarantees >= 15
+    compressed nodes) must not crash any backend."""
+    import numpy as np
+    from describealign_tpu.alignment.fit import solve_l1_fit
+    for n in (3, 4, 10, 40):
+        rng = np.random.default_rng(n)
+        x = np.cumsum(rng.uniform(50, 200, n))
+        y = x + 100 + rng.laplace(0, 0.3, n)
+        for be in ("native", "device", "highs"):
+            r = solve_l1_fit(x, y, backend=be)
+            assert np.isfinite(r["smooth_y"]).all()
+            assert abs(r["median_slope"] - 1.0) < 0.05
