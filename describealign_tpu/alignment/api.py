@@ -69,8 +69,9 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
         nv = min(nv, int(video_frames))
 
     print("  memorizing video...        \r", end='')
-    feats_a = _stack_padded(audio_desc_features, na, _bucket_pad(na))
-    feats_v = _stack_padded(video_features, nv, _bucket_pad(nv))
+    npad = max(_bucket_pad(na), _bucket_pad(nv))   # one shape per bucket
+    feats_a = _stack_padded(audio_desc_features, na, npad)
+    feats_v = _stack_padded(video_features, nv, npad)
 
     print("  matching audio...  \r", end='')
     quals, offs, starts = matching.match_from_features(feats_a, na,
@@ -102,15 +103,19 @@ def _feature_path():
     return os.environ.get('DESCRIBEALIGN_FEATURES', 'host')
 
 
-def host_features_padded(pcm_i16, true_samples=None):
+def host_features_padded(pcm_i16, true_samples=None, npad=None):
     """Host feature extraction into the bucket-padded (5, Npad) f32 stack.
 
-    Returns (stack, n_frames).
+    true_samples is passed through unrounded so the tail samples of a
+    partial final frame still feed the smoothing convolutions, exactly as
+    on the device extractor. Returns (stack, n_frames).
     """
     from ..ops.host_features import extract_features_host
-    n = (true_samples or pcm_i16.shape[1]) // 210
-    fs = extract_features_host(pcm_i16, n * 210)
-    npad = _bucket_pad(n)
+    true_samples = true_samples or pcm_i16.shape[1]
+    n = int(true_samples) // 210
+    fs = extract_features_host(pcm_i16, true_samples)
+    if npad is None:
+        npad = _bucket_pad(n)
     out = np.zeros((5, npad), np.float32)
     for j, f in enumerate(fs):
         k = min(len(f), n)
@@ -142,9 +147,15 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
     fit_backend = _default_backend(fit_backend)
     if _feature_path() == 'host':
         print("  memorizing video...        \r", end='')
-        feats_v_np, nv = host_features_padded(video_pcm_i16, video_samples)
+        # both streams pad to the COMMON bucket: one compiled shape per
+        # bucket serves any video/audio length combination (instead of a
+        # quadratic family of (npad_a, npad_v) programs)
+        sv = video_samples or video_pcm_i16.shape[1]
+        sa = audio_samples or audio_pcm_i16.shape[1]
+        npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+        feats_v_np, nv = host_features_padded(video_pcm_i16, sv, npad)
         dev_v = jax.device_put(feats_v_np)       # async upload overlaps the
-        feats_a_np, na = host_features_padded(audio_pcm_i16, audio_samples)
+        feats_a_np, na = host_features_padded(audio_pcm_i16, sa, npad)
         dev_a = jax.device_put(feats_a_np)       # audio extraction
         print("  matching audio...  \r", end='')
         quals, offs, starts = matching.match_from_features(dev_a, na,
@@ -196,9 +207,10 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
         v, a = pairs[i]
         sv, sa = true_samples[i]
         if host_path:
-            fv, nv = host_features_padded(v, sv)
+            npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+            fv, nv = host_features_padded(v, sv, npad)
             dev_v = jax.device_put(fv)
-            fa, na = host_features_padded(a, sa)
+            fa, na = host_features_padded(a, sa, npad)
             dev_a = jax.device_put(fa)
             out = matching.match_from_features(dev_a, na, dev_v, nv)
             return (i, out + (fa, fv))
@@ -241,17 +253,17 @@ def warmup_compile(max_minutes):
     """Pre-compile the device matcher for every feature-bucket shape a
     media file of up to `max_minutes` can produce (the results land in the
     persistent compilation cache, so first real runs skip the multi-minute
-    compile). Tiny deterministic inputs; output values are discarded."""
+    compile). The fast path pads both streams to the COMMON bucket, so one
+    shape per bucket covers any video/audio length pairing."""
     buckets = sorted({_bucket_pad(int(m * 60 * 210))
                       for m in np.arange(1.0, max_minutes + 1.0)})
-    for i, npad in enumerate(buckets):
-        for npad_v in {npad, buckets[min(i + 1, len(buckets) - 1)]}:
-            print(f"  compiling bucket {npad}x{npad_v}...      \r", end='')
-            fa = np.zeros((5, npad), np.float32)
-            fv = np.zeros((5, npad_v), np.float32)
-            fa[0, :210 * 30] = fv[0, :210 * 30] = 1.0
-            out = matching.match_from_features(fa, 210 * 30, fv, 210 * 30)
-            np.asarray(out[0])
+    for npad in buckets:
+        print(f"  compiling bucket {npad}...      \r", end='')
+        fa = np.zeros((5, npad), np.float32)
+        fv = np.zeros((5, npad), np.float32)
+        fa[0, :210 * 30] = fv[0, :210 * 30] = 1.0
+        out = matching.match_from_features(fa, 210 * 30, fv, 210 * 30)
+        np.asarray(out[0])
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 

@@ -22,6 +22,24 @@ _SRC = _SRCS[0]
 _OUT = os.path.abspath(os.path.join(_SRC_DIR, 'libdadp.so'))
 
 
+def _host_fingerprint():
+    """Identifies the CPU the library was built for. -march=native code
+    must never run on a different host (SIGILL), so the .so is gitignored
+    AND invalidated when the fingerprint changes (VM migrations)."""
+    import hashlib
+    import platform
+    ident = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    ident += line
+                    break
+    except OSError:
+        ident += platform.processor()
+    return hashlib.sha1(ident.encode()).hexdigest()[:16]
+
+
 def _build():
     # -march=native: the library is compiled lazily on the machine that
     # runs it, so host-specific SIMD is safe (and load-bearing for the
@@ -35,6 +53,8 @@ def _build():
         cmd = (['g++', '-O3', '-shared', '-fPIC', '-std=c++17']
                + _SRCS + ['-o', _OUT])
         subprocess.run(cmd, check=True, capture_output=True)
+    with open(_OUT + '.buildinfo', 'w') as f:
+        f.write(_host_fingerprint())
 
 
 def native_lib():
@@ -51,9 +71,15 @@ def native_lib():
         try:
             if not all(os.path.exists(s) for s in _SRCS):
                 return None
-            if (not os.path.exists(_OUT)
-                    or any(os.path.getmtime(_OUT) < os.path.getmtime(s)
-                           for s in _SRCS)):
+            stale = (not os.path.exists(_OUT)
+                     or any(os.path.getmtime(_OUT) < os.path.getmtime(s)
+                            for s in _SRCS))
+            try:
+                with open(_OUT + '.buildinfo') as f:
+                    stale = stale or f.read() != _host_fingerprint()
+            except OSError:
+                stale = True    # no provenance: never trust the binary
+            if stale:
                 _build()
             lib = ctypes.CDLL(_OUT)
             lib.weighted_lis.restype = ctypes.c_int

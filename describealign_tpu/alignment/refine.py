@@ -38,9 +38,11 @@ def build_line_clusters(smooth_path, slopes):
     # stays point-major like the reference (merge tests read endpoints)
     ks = []
     for s_arr in (slopes_plus_ends[:n], slopes_plus_ends[1:n + 1]):
-        ks.append((np.round(s_arr, 6).tolist(),
-                   np.round(py_arr - s_arr * px_arr, 0).astype(np.int64)
-                   .tolist(),
+        # python round(): correctly-rounded decimal semantics (np.round's
+        # scale-and-round can differ on ties, drifting cluster keys)
+        ks.append(([round(v, 6) for v in s_arr.tolist()],
+                   [int(round(v, 0))
+                    for v in (py_arr - s_arr * px_arr).tolist()],
                    ((s_arr >= .1) & (s_arr <= 10)).tolist()))
     colinear = defaultdict(list)
     pts = list(zip(px_arr.tolist(), py_arr.tolist()))

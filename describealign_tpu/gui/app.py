@@ -162,9 +162,7 @@ class SettingsDialog(wx.Dialog):
 
     def _pull(self):
         for spec in SETTINGS_FIELDS:
-            w = self.widgets[spec["key"]]
-            val = w.GetValue() if spec["kind"] == "bool" else w.GetValue()
-            self.model.set(spec["key"], val)
+            self.model.set(spec["key"], self.widgets[spec["key"]].GetValue())
 
     def _on_ok(self, event):
         self._pull()

@@ -37,8 +37,8 @@ def _downsample_blur(arr, downsample, blur):
     return out
 
 
-def _numpy_features(pcm_f16):
-    """All 5 streams, numpy (reference math, describealign.py:545-593)."""
+def _numpy_energy_zcr(pcm_f16):
+    """Streams 0-1 (energy, ZCR), numpy (reference math, 545-566)."""
     c, s = pcm_f16.shape
 
     n = s - s % 105
@@ -54,6 +54,13 @@ def _numpy_features(pcm_f16):
     if c == 1:
         counts *= 2
     zcr = _conv_same(counts, _hann_taps(15))
+    return energy, zcr
+
+
+def _numpy_features(pcm_f16):
+    """All 5 streams, numpy (reference math, describealign.py:545-593)."""
+    c, s = pcm_f16.shape
+    energy, zcr = _numpy_energy_zcr(pcm_f16)
 
     arr = np.mean(pcm_f16, axis=0) if c > 1 else pcm_f16[0]
     arr = arr[:len(arr) - (len(arr) % 210)]
@@ -95,8 +102,8 @@ def extract_features_host(pcm_i16, true_samples=None):
     if frontend_name() == 'mel':
         from .mel import mel_band_features_host
         pcm_f16 = pcm_i16.astype(np.float16)
-        feats = _numpy_features(pcm_f16)
-        return feats[:2] + mel_band_features_host(pcm_f16)
+        energy, zcr = _numpy_energy_zcr(pcm_f16)
+        return [energy, zcr] + mel_band_features_host(pcm_f16)
 
     lib = native_lib()
     if lib is not None and hasattr(lib, 'extract_features_i16'):
