@@ -181,7 +181,7 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
 
 
 def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
-                         host_workers=4, true_samples=None):
+                         host_workers=4, true_samples=None, mesh=None):
     """Batch fast path: list of (video_pcm_i16, audio_pcm_i16) pairs.
 
     The device programs are dispatched asynchronously with a bounded queue
@@ -191,6 +191,10 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     fully sequential directory loop (describealign.py:1077) into a
     pipelined batch; a single fused program per pair keeps peak HBM bounded
     regardless of batch size.
+
+    mesh: an optional jax.sharding.Mesh - pairs are then matched
+    data-parallel across its devices (shard_map over the first axis, pure
+    DP over ICI) in mesh-sized groups; host refinement stays per-pair.
 
     Returns a list of align() result tuples, one per pair.
     """
@@ -202,6 +206,9 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     b = len(pairs)
     if true_samples is None:
         true_samples = [(v.shape[1], a.shape[1]) for (v, a) in pairs]
+    if mesh is not None:
+        return _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
+                                    host_workers)
 
     def dispatch(i):
         v, a = pairs[i]
@@ -243,6 +250,56 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
                 in_flight.append(dispatch(next_i))
                 next_i += 1
         return [f.result() for f in futs]
+
+
+def _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
+                         host_workers):
+    """Data-parallel batch over a device mesh: pairs are grouped to the
+    mesh size, features are padded to each group's COMMON bucket, and one
+    shard_mapped program matches the whole group (one pair per device, no
+    collectives - pure DP over ICI). Host features and refinement remain
+    per-pair on the host.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..parallel.batch import sharded_match
+
+    n_dev = mesh.devices.size
+    b = len(pairs)
+    results = [None] * b
+    with ThreadPoolExecutor(max_workers=host_workers) as pool:
+        for g0 in range(0, b, n_dev):
+            idx = list(range(g0, min(g0 + n_dev, b)))
+            npad = max(max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+                       for (sv, sa) in (true_samples[i] for i in idx))
+            fa_g = np.zeros((n_dev, 5, npad), np.float32)
+            fv_g = np.zeros((n_dev, 5, npad), np.float32)
+            lens_a = np.zeros(n_dev, np.int32)
+            lens_v = np.zeros(n_dev, np.int32)
+            for j, i in enumerate(idx):
+                v, a = pairs[i]
+                sv, sa = true_samples[i]
+                fv_g[j], lens_v[j] = host_features_padded(v, sv, npad)
+                fa_g[j], lens_a[j] = host_features_padded(a, sa, npad)
+            # ragged tail groups replicate the last pair into empty slots
+            for j in range(len(idx), n_dev):
+                fa_g[j], fv_g[j] = fa_g[len(idx) - 1], fv_g[len(idx) - 1]
+                lens_a[j], lens_v[j] = lens_a[len(idx) - 1], lens_v[len(idx) - 1]
+            quals, offs, starts = sharded_match(mesh, fa_g, lens_a,
+                                                fv_g, lens_v)
+            quals = np.asarray(quals)
+            offs = np.asarray(offs)
+            starts = np.asarray(starts)
+            futs = []
+            for j, i in enumerate(idx):
+                sv, sa = true_samples[i]
+                futs.append((i, pool.submit(
+                    _host_stages, quals[j], offs[j], starts[j],
+                    fa_g[j], fv_g[j], sa // 210, sv // 210, fit_backend,
+                    True)))
+            for i, f in futs:
+                results[i] = f.result()
+    return results
 
 
 def _padded_len(s):

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..alignment.matching import match_pair
+from ..alignment.matching import _match_core
 from ..alignment.preprocess import preprocess_features
 
 
@@ -31,12 +31,16 @@ def make_mesh(n_devices=None, axis='data'):
 def device_align_step(feats_a, len_a, feats_v, len_v):
     """Full device-side pipeline for one pair: preprocess + match.
 
-    feats_*: (5, Npad) stacked raw features. Returns (quals, vids, centers).
+    feats_*: (5, Npad) stacked raw features. Returns the compressed
+    candidate form (quals f16 (B,210,K), offs int16, starts int32) that
+    the host stages consume (video frame = starts[b] + off).
     """
+    import jax.numpy as jnp
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    return match_pair(ms_a, norms_a, feats_a[0], len_a,
-                      ms_v, norms_v, feats_v[0], len_v)
+    quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
+                                         ms_v, norms_v, feats_v[0], len_v)
+    return quals.astype(jnp.float16), offs, starts
 
 
 @jax.jit

@@ -123,3 +123,27 @@ def test_pallas_fine_matches_xla():
     top1 = (vpn[:, :, 0] == vn[:, :, 0]) | ((qpn[:, :, 0] == 0)
                                             & (qn[:, :, 0] == 0))
     assert top1.all()
+
+
+def test_align_batch_sharded_equals_serial():
+    """The mesh-sharded batch API must produce the same alignments as the
+    serial pipelined path (ragged group: 3 pairs on an 8-device mesh)."""
+    from describealign_tpu.alignment.api import align_batch_from_pcm
+
+    pairs, lens = [], []
+    for seed in (31, 32, 33):
+        video, audio, _ = build_pair(content_seconds=16.0, narration=(),
+                                     lead_in=2.0 + seed % 3, seed=seed)
+        v = np.clip(video, -32768, 32767).astype(np.int16)
+        a = np.clip(audio, -32768, 32767).astype(np.int16)
+        pairs.append((v, a))
+        lens.append((v.shape[1], a.shape[1]))
+
+    mesh = make_mesh(N_DEV, axis='data')
+    got = align_batch_from_pcm(pairs, true_samples=lens, mesh=mesh)
+    want = align_batch_from_pcm(pairs, true_samples=lens)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g[0], w[0], atol=1e-6)   # audio times
+        np.testing.assert_allclose(g[1], w[1], atol=1e-6)   # video times
+        assert abs(g[2] - w[2]) < 1e-9                      # similarity
