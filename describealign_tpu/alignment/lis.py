@@ -81,18 +81,24 @@ def weighted_lis(audio_idx, video_idx, qual):
 def lis_from_match(quals, offs, starts):
     """Fused flatten + sort + LIS straight off the compressed matcher output.
 
-    quals: (B, 210, K) f32, 0 marks empty; offs: (B, 210, K) int16 band
-    offsets; starts: (B,) int32 band starts (video = starts[b] + off).
-    One C++ pass replaces the flatten/lexsort/LIS cascade - the flatten and
-    full lexsort dominated the host stages at media scale.
+    quals: (B, 210, G*K) f32, 0 marks empty; offs: (B, 210, G*K) int16
+    band offsets; starts: (B, G) int32 band starts - slot j belongs to
+    band j // K and its video frame is starts[b, j//K] + off. (G=1 with a
+    1-D starts array also works.) One C++ pass replaces the
+    flatten/lexsort/LIS cascade - the flatten and full lexsort dominated
+    the host stages at media scale; exact duplicates from overlapping
+    bands collapse like the reference's per-frame candidate sets.
     """
     import ctypes
     quals = np.ascontiguousarray(quals, np.float32)
     offs = np.ascontiguousarray(offs, np.int16)
     starts = np.ascontiguousarray(starts, np.int32)
+    if starts.ndim == 1:
+        starts = starts[:, None]
+    nb, blk, k = quals.shape
+    n_groups = starts.shape[1]
     lib = native_lib()
     if lib is not None and hasattr(lib, 'lis_from_match'):
-        nb, blk, k = quals.shape
         cap = nb * blk * k + 1
         out_v = np.empty(cap, np.int64)
         out_a = np.empty(cap, np.int64)
@@ -102,16 +108,22 @@ def lis_from_match(quals, offs, starts):
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ctypes.c_longlong(nb), ctypes.c_longlong(blk),
-            ctypes.c_longlong(k),
+            ctypes.c_longlong(k), ctypes.c_longlong(n_groups),
             out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
             out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
             ctypes.byref(out_len))
         if rc == 0:
             m = out_len.value
             return out_v[:m].copy(), out_a[:m].copy()
-    vids = starts[:, None, None].astype(np.int64) + offs
+    slot_starts = np.repeat(starts.astype(np.int64), k // n_groups, axis=1)
+    vids = slot_starts[:, None, :] + offs
     a, v, q = candidates_from_match_output(quals, vids)
-    return weighted_lis_py(a, v, q)
+    # overlapping bands can duplicate a candidate; the reference's
+    # per-frame candidate sets keep one copy
+    _, first = np.unique(np.stack([a, v, q.view(np.int64)]), axis=1,
+                         return_index=True)
+    keep = np.sort(first)
+    return weighted_lis_py(a[keep], v[keep], q[keep])
 
 
 def candidates_from_match_output(quals, vids, block=210):

@@ -85,15 +85,26 @@ def _windows(x, start, count, width=WINDOW):
 # Coarse pass
 # ---------------------------------------------------------------------------
 
-def _coarse_descriptors(ms, norms, mask):
-    """Normalized, masked window descriptors at COARSE_STRIDE.
+# sub-lane phase shifts for the VIDEO descriptors: the lane grid is 21
+# frames but feature correlations decay within ~±5 frames, so a true match
+# whose offset falls mid-lane is invisible to a single-phase score map
+# (found by the long mixed parity case - every other synthetic case used
+# integer-second insertions that land exactly on lane centers). Taking the
+# max over three 7-frame-shifted copies makes every fractional offset
+# visible within ~±3.5 frames, and the ±1.33 s fine band absorbs the rest.
+SUB_LANE_SHIFTS = (0, 7, 14)
+
+
+def _coarse_descriptors(ms, norms, mask, phase=0):
+    """Normalized, masked window descriptors at COARSE_STRIDE (+ phase).
 
     ms, norms: (3, N) f32; mask: (N,) bool (anchor eligibility).
-    Returns (K, 128) f32 with zero rows for invalid anchors.
+    Returns (K, 128) f32 with zero rows for invalid anchors. K is
+    independent of `phase` so shifted copies share one shape.
     """
     n = ms.shape[1]
-    k = (n - WINDOW) // COARSE_STRIDE + 1
-    starts = np.arange(k) * COARSE_STRIDE
+    k = (n - WINDOW - max(SUB_LANE_SHIFTS)) // COARSE_STRIDE + 1
+    starts = np.arange(k) * COARSE_STRIDE + phase
     idx = starts[:, None] + np.arange(WINDOW)[None, :]          # (K, 41)
     win = ms[:, idx]                                            # (3, K, 41)
     nrm = norms[:, starts]                                      # (3, K)
@@ -106,17 +117,28 @@ def _coarse_descriptors(ms, norms, mask):
 COARSE_CHUNK = 64  # blocks per lax.map step (MXU-sized matmuls, large DMAs)
 
 
-def _block_scores_local(desc_a, desc_v):
+def _block_scores_local(desc_a, desc_v_list):
     """Video-coordinate block score map P[b, v].
 
     P[b, v] = best descriptor-correlation sum matching any coarse row of
     audio block b against video coarse index (v + within-block phase).
+    MAX over the phases is load-bearing: the video index keeps only every
+    4th frame (reference 630) and rate mismatches sweep the fractional
+    lane alignment through the block, so typically ONE phase carries the
+    true match - averaging dilutes it below envelope self-similarity
+    ridges (verified on the 3%-rate parity case). Ambiguity against such
+    ridges is handled downstream by k-best tracking (_match_core runs the
+    DP twice with the first track suppressed) + the far more selective
+    fine-pass gates.
+
     Working in video coordinates (rather than offset space) halves the lane
     width and needs no scatter: the DP below re-labels lanes by shifting the
     nominal +10 advance per block instead.
     """
+    if not isinstance(desc_v_list, (list, tuple)):
+        desc_v_list = [desc_v_list]
     ka = desc_a.shape[0]
-    kv = desc_v.shape[0]
+    kv = desc_v_list[0].shape[0]
     nb = ka // COARSE_PER_BLOCK
     nb_pad = -(-nb // COARSE_CHUNK) * COARSE_CHUNK
     desc_a = jnp.pad(desc_a,
@@ -126,13 +148,17 @@ def _block_scores_local(desc_a, desc_v):
         rows = jax.lax.dynamic_slice_in_dim(
             desc_a, c * COARSE_CHUNK * COARSE_PER_BLOCK,
             COARSE_CHUNK * COARSE_PER_BLOCK, axis=0)
-        s = jnp.dot(rows, desc_v.T,
-                    preferred_element_type=jnp.float32)  # (640, Kv)
-        s = s.reshape(COARSE_CHUNK, COARSE_PER_BLOCK, kv)
-        s = jnp.pad(s, ((0, 0), (0, 0), (0, COARSE_PER_BLOCK)))
-        aligned = jnp.stack(
-            [s[:, p, p:p + kv] for p in range(COARSE_PER_BLOCK)], axis=1)
-        return jnp.max(aligned, axis=1)                  # (CHUNK, Kv)
+        out = None
+        for desc_v in desc_v_list:   # sub-lane shifted copies, max-folded
+            s = jnp.dot(rows, desc_v.T,
+                        preferred_element_type=jnp.float32)  # (640, Kv)
+            s = s.reshape(COARSE_CHUNK, COARSE_PER_BLOCK, kv)
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, COARSE_PER_BLOCK)))
+            aligned = jnp.max(jnp.stack(
+                [s[:, p, p:p + kv] for p in range(COARSE_PER_BLOCK)],
+                axis=1), axis=1)                         # (CHUNK, Kv)
+            out = aligned if out is None else jnp.maximum(out, aligned)
+        return out
 
     p_map = jax.lax.map(chunk, jnp.arange(nb_pad // COARSE_CHUNK))
     return p_map.reshape(nb_pad, kv)[:nb]
@@ -287,14 +313,30 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     return quals.astype(jnp.float16), offs, starts
 
 
+def _abs_vids(offs, starts):
+    """(B, 210, G*K) absolute video frames from grouped band starts."""
+    k_per_group = offs.shape[2] // starts.shape[1]
+    slot_starts = jnp.repeat(starts, k_per_group, axis=1)   # (B, G*K)
+    return slot_starts[:, None, :] + offs.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=())
 def match_pair(feats_a, norms_a, energy_a, len_a,
                feats_v, norms_v, energy_v, len_v):
     quals, offs, starts, centers = _match_core(
         feats_a, norms_a, energy_a, len_a,
         feats_v, norms_v, energy_v, len_v)
-    vids = starts[:, None, None] + offs.astype(jnp.int32)
-    return quals, vids, centers
+    return quals, _abs_vids(offs, starts), centers
+
+
+# k-best coarse tracking: lanes within this radius of an earlier track are
+# suppressed before re-running the DP, so the next track explores a
+# genuinely different hypothesis (radius > band width so bands are mostly
+# disjoint). Ambiguous media - rate-mismatched content whose coarse scores
+# drop below self-similarity ridges - keeps recall through the 2nd band;
+# the fine-pass prob gates + LIS arbitrate which hypothesis is real.
+N_TRACKS = 2
+SUPPRESS_LANES = 25
 
 
 def _match_core(feats_a, norms_a, energy_a, len_a,
@@ -304,40 +346,78 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
     energy_*: (Npad,) raw energy feature; len_*: true frame counts.
 
-    Returns (quals (B, 210, K), offs (B, 210, K) int16, starts (B,) int32,
-    coarse_offset_frames (B,)); video frame = starts[b] + offs[b, l, k].
+    Returns (quals (B, 210, G*K), offs (B, 210, G*K) int16,
+    starts (B, G) int32, coarse_offset_frames (B,) of the best track);
+    slot j belongs to band g = j // TOP_K, and its video frame is
+    starts[b, g] + offs[b, l, j].
     """
     nv_pad = feats_v.shape[1]
     a_mask = valid_audio_mask(energy_a, len_a)
     v_mask = valid_video_mask(energy_v, len_v)
 
     desc_a = _coarse_descriptors(feats_a[:3], norms_a[:3], a_mask)
-    desc_v = _coarse_descriptors(feats_v[:3], norms_v[:3], v_mask)
-    p_map = _block_scores_local(desc_a, desc_v)
-    v_path = _coarse_dp(p_map)                        # (B,) video coarse idx
-    nb = v_path.shape[0]
-    # video-minus-audio offset per block, in frames
-    center_frames = (v_path * COARSE_STRIDE
-                     - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
-    starts = jnp.clip(
-        jnp.arange(nb, dtype=jnp.int32) * BLOCK + center_frames
-        - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
+    desc_v_list = [_coarse_descriptors(feats_v[:3], norms_v[:3], v_mask,
+                                       phase) for phase in SUB_LANE_SHIFTS]
+    p_map = _block_scores_local(desc_a, desc_v_list)
+    nb = p_map.shape[0]
+    lanes = jnp.arange(p_map.shape[1], dtype=jnp.int32)[None, :]
 
-    if _use_pallas():
-        from ..ops.pallas_fine import fine_match_pallas
-        quals, vids = fine_match_pallas(
-            feats_a, norms_a, a_mask.astype(jnp.float32),
-            feats_v, norms_v, v_mask.astype(jnp.float32),
-            starts, interpret=_pallas_interpret())
-        offs = (vids - starts[:, None, None]).astype(jnp.int16)
-        return quals, offs, starts, center_frames
+    v_paths = []
+    suppressed = p_map
+    for _ in range(N_TRACKS):
+        v_path = _coarse_dp(suppressed)               # (B,) video coarse idx
+        v_paths.append(v_path)
+        suppressed = jnp.where(
+            jnp.abs(lanes - v_path[:, None]) <= SUPPRESS_LANES,
+            -1e30, suppressed)
 
-    def one_block(inp):
-        b, start = inp
-        return _fine_block(feats_a, norms_a, feats_v, norms_v,
-                           a_mask, v_mask, b, start)
+    all_quals, all_offs, all_starts = [], [], []
+    center_frames = None
+    for v_path in v_paths:
+        centers = (v_path * COARSE_STRIDE
+                   - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
+        if center_frames is None:
+            center_frames = centers                   # best track's offsets
+        starts = jnp.clip(
+            jnp.arange(nb, dtype=jnp.int32) * BLOCK + centers
+            - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
 
-    quals, offs = jax.lax.map(
-        one_block, (jnp.arange(nb, dtype=jnp.int32), starts),
-        batch_size=32)
+        if _use_pallas():
+            from ..ops.pallas_fine import fine_match_pallas
+            quals, vids = fine_match_pallas(
+                feats_a, norms_a, a_mask.astype(jnp.float32),
+                feats_v, norms_v, v_mask.astype(jnp.float32),
+                starts, interpret=_pallas_interpret())
+            offs = (vids - starts[:, None, None]).astype(jnp.int16)
+        else:
+            def one_block(inp):
+                b, start = inp
+                return _fine_block(feats_a, norms_a, feats_v, norms_v,
+                                   a_mask, v_mask, b, start)
+
+            quals, offs = jax.lax.map(
+                one_block, (jnp.arange(nb, dtype=jnp.int32), starts),
+                batch_size=32)
+        all_quals.append(quals)
+        all_offs.append(offs)
+        all_starts.append(starts)
+
+    # band 1 (the best track) keeps all TOP_K candidates; rescue bands
+    # keep their top half on every 2nd audio frame - they only need to
+    # seed a consistent chain for the LIS to pick up (the fit bridges the
+    # rest), and this bounds the D2H/LIS cost of robustness on heavily
+    # self-similar media (repeated music passes the fine gates in bulk).
+    # Slots are grouped in spans of TOP_K//2 sharing one start so the
+    # layout stays uniform: band 1 = groups 0-1, band g>=2 = one group.
+    half = TOP_K // 2
+    even_frame = (jnp.arange(BLOCK) % 2 == 0)[None, :, None]
+    quals = jnp.concatenate(
+        [all_quals[0]]
+        + [jnp.where(even_frame, q[:, :, :half], 0.0)
+           for q in all_quals[1:]], axis=2)
+    offs = jnp.concatenate([all_offs[0]]
+                           + [o[:, :, :half] for o in all_offs[1:]],
+                           axis=2)
+    starts = jnp.stack([all_starts[0], all_starts[0]]
+                       + all_starts[1:], axis=1)      # (B, G) per half-span
     return quals, offs, starts, center_frames

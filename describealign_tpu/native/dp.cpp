@@ -74,21 +74,30 @@ int weighted_lis(const int64_t* video_idx, const int64_t* audio_idx,
 
 // Fused flatten + sort + weighted LIS straight off the device matcher's
 // compressed output. quals: (nb, blk, k) f32 with 0 marking empty slots;
-// voffs: (nb, blk, k) int16 video offsets within the block's search band;
-// starts: (nb,) int32 band start frames (video = starts[b] + voff). The
-// audio frame of slot (b, l, *) is b*blk + l, so candidates arrive already
-// sorted by audio; each frame's <=k live slots are insertion-sorted by
-// (video, qual) to match the (audio, video, qual) processing order of
-// weighted_lis above. Outputs as in weighted_lis. Returns 0 on success.
+// voffs: (nb, blk, k) int16 video offsets within a search band; starts:
+// (nb, n_groups) int32 band start frames - slot j belongs to band
+// j / (k / n_groups), and its video frame is starts[b][group] + voff.
+// The audio frame of slot (b, l, *) is b*blk + l, so candidates arrive
+// already sorted by audio; each frame's live slots are insertion-sorted
+// by (video, qual) to match the (audio, video, qual) processing order of
+// weighted_lis above, and exact duplicates (overlapping bands yielding
+// the same candidate) collapse to one like the reference's per-frame
+// candidate sets. Outputs as in weighted_lis. Returns 0 on success.
 int lis_from_match(const float* quals, const int16_t* voffs,
-                   const int32_t* starts, int64_t nb, int64_t blk, int64_t k,
+                   const int32_t* starts, int64_t nb, int64_t blk,
+                   int64_t k, int64_t n_groups,
                    int64_t* out_video, int64_t* out_audio, int64_t* out_len) {
-  if (k > 64) return 1;
+  if (k > 64 || n_groups < 1 || k % n_groups != 0) return 1;
+  const int64_t k_per_group = k / n_groups;
   struct Node { int64_t v, a; int64_t prev; };
   std::vector<Node> nodes;
   nodes.reserve(static_cast<size_t>(nb * blk) + 1);
   nodes.push_back({-1, -1, -1});  // sentinel
 
+  // NOTE: the frontier must be a node-based ordered map. A flat sorted
+  // vector was tried (memmove-based insert) and is 100x WORSE here:
+  // rescue-band candidates land far from the frontier's tail, so inserts
+  // hit the middle of a ~10^5-entry vector.
   struct Entry { double cum; int64_t node; };
   std::multimap<int64_t, Entry> best;
   best.insert({-1, {0.0, 0}});
@@ -97,14 +106,15 @@ int lis_from_match(const float* quals, const int16_t* voffs,
   Cand cands[64];
 
   for (int64_t b = 0; b < nb; ++b) {
-    const int64_t base = starts[b];
+    const int32_t* base = starts + b * n_groups;
     for (int64_t l = 0; l < blk; ++l) {
       const float* qrow = quals + (b * blk + l) * k;
       const int16_t* vrow = voffs + (b * blk + l) * k;
       int m = 0;
       for (int64_t j = 0; j < k; ++j) {
         if (qrow[j] > 0.f) {
-          Cand c{base + vrow[j], static_cast<double>(qrow[j])};
+          Cand c{base[j / k_per_group] + vrow[j],
+                 static_cast<double>(qrow[j])};
           int p = m++;  // insertion sort by (v, q) ascending
           while (p > 0 && (cands[p - 1].v > c.v ||
                            (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
@@ -116,6 +126,10 @@ int lis_from_match(const float* quals, const int16_t* voffs,
       }
       const int64_t a = b * blk + l;
       for (int t = 0; t < m; ++t) {
+        if (t > 0 && cands[t].v == cands[t - 1].v
+            && cands[t].q == cands[t - 1].q) {
+          continue;  // duplicate candidate from an overlapping band
+        }
         const int64_t v = cands[t].v;
         auto it = best.upper_bound(v);
         auto prev = std::prev(it);

@@ -95,6 +95,10 @@ def test_pallas_fine_matches_xla():
     ms_v, norms_v = preprocess.preprocess_features(fv)
     quals, vids, centers = matching.match_pair(ms_a, norms_a, fa[0], na,
                                                ms_v, norms_v, fv[0], nv)
+    # compare only the primary track's band (first TOP_K slots): the
+    # pallas kernel below runs a single band at the same starts
+    quals = quals[:, :, :matching.TOP_K]
+    vids = vids[:, :, :matching.TOP_K]
     nb = centers.shape[0]
     a_mask = preprocess.valid_audio_mask(fa[0], na)
     v_mask = preprocess.valid_video_mask(fv[0], nv)

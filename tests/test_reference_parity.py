@@ -137,6 +137,28 @@ def test_parity_skip_heavy(ref):
     _assert_mapping_parity(r, o, np.linspace(6, 95, 45))
 
 
+def test_parity_long_mixed(ref):
+    """A longer (4.5-min) case mixing a start offset, spread-out skips, and
+    a mid-stream rate change - scale-dependent divergences (band-tracking,
+    compression, cluster merging) only show up beyond toy lengths."""
+    from scipy.signal import resample_poly
+    content = speech_like(240.0, seed=36)
+    # video plays the second half 2% fast
+    half = int(120 * SR)
+    video = _quantize(np.concatenate(
+        [content[:half], resample_poly(content[half:], 100, 102)]))
+    pieces = [speech_like(12.0, seed=1036, amp=5000.0)]
+    cursor = 0.0
+    for k, cut in enumerate((40.0, 95.0, 150.0, 205.0)):
+        pieces.append(content[int(cursor * SR):int(cut * SR)])
+        pieces.append(speech_like(3.0 + k, seed=6036 + k, amp=5000.0))
+        cursor = cut
+    pieces.append(content[int(cursor * SR):])
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(14, 265, 60), tol_s=0.3)
+
+
 def test_parity_low_similarity(ref):
     """Half the description content doesn't exist in the video: both
     implementations should report reduced similarity and still align the
