@@ -113,16 +113,22 @@ std::vector<float> downsample_blur(const float* x, int64_t n, int ds,
     int64_t klo = base < 0 ? -base : 0;
     int64_t khi = W < m - base ? W : m - base;
     const float* xp = x + base;
-    // 8-lane accumulators: gcc will not vectorize a plain float reduction
-    // without -ffast-math, but the fixed-width inner loop maps to one
-    // vector FMA (and keeps a deterministic summation order)
-    float acc[8] = {0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f};
+    // 32 accumulators in 4 independent 8-lane groups: gcc will not
+    // vectorize a plain float reduction without -ffast-math, and a single
+    // vector accumulator is FMA-LATENCY-bound (one dependency chain);
+    // four chains in flight reach FMA throughput. Deterministic order.
+    float acc[32] = {0.f};
     int64_t k = klo;
+    for (; k + 32 <= khi; k += 32)
+      for (int u = 0; u < 32; ++u)
+        acc[u] += w[static_cast<size_t>(k + u)] * xp[k + u];
     for (; k + 8 <= khi; k += 8)
       for (int u = 0; u < 8; ++u)
         acc[u] += w[static_cast<size_t>(k + u)] * xp[k + u];
-    float s = ((acc[0] + acc[1]) + (acc[2] + acc[3]))
-              + ((acc[4] + acc[5]) + (acc[6] + acc[7]));
+    float s = 0.f;
+    for (int g = 0; g < 32; g += 8)
+      s += ((acc[g] + acc[g + 1]) + (acc[g + 2] + acc[g + 3]))
+           + ((acc[g + 4] + acc[g + 5]) + (acc[g + 6] + acc[g + 7]));
     for (; k < khi; ++k) s += w[static_cast<size_t>(k)] * xp[k];
     out[static_cast<size_t>(j)] = s;
   }
