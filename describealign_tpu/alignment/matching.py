@@ -405,16 +405,35 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     # band 1 (the best track) keeps all TOP_K candidates; rescue bands
     # keep their top half on every 2nd audio frame - they only need to
     # seed a consistent chain for the LIS to pick up (the fit bridges the
-    # rest), and this bounds the D2H/LIS cost of robustness on heavily
-    # self-similar media (repeated music passes the fine gates in bulk).
-    # Slots are grouped in spans of TOP_K//2 sharing one start so the
-    # layout stays uniform: band 1 = groups 0-1, band g>=2 = one group.
+    # rest) - and only in blocks whose top candidates AGREE on one offset
+    # (true matches line up frame after frame; gate-passing fakes on
+    # self-similar media scatter). This bounds the D2H/LIS cost of
+    # robustness. Slots are grouped in spans of TOP_K//2 sharing one
+    # start: band 1 = groups 0-1, band g>=2 = one group.
     half = TOP_K // 2
     even_frame = (jnp.arange(BLOCK) % 2 == 0)[None, :, None]
-    quals = jnp.concatenate(
-        [all_quals[0]]
-        + [jnp.where(even_frame, q[:, :, :half], 0.0)
-           for q in all_quals[1:]], axis=2)
+
+    def _consistent_blocks(quals_g, offs_g):
+        """(B,) bool: block's top-1 offsets have a mode of >= 15 frames."""
+        b_n = quals_g.shape[0]
+        live = quals_g[:, :, 0] > 0                   # (B, 210)
+        d = offs_g[:, :, 0].astype(jnp.int32) - jnp.arange(
+            BLOCK, dtype=jnp.int32)[None, :] + BLOCK  # within-band offset
+        d = jnp.clip(d, 0, FINE_W + BLOCK)
+        b_idx = jnp.broadcast_to(
+            jnp.arange(b_n, dtype=jnp.int32)[:, None], d.shape)
+        counts = jnp.zeros((b_n, FINE_W + BLOCK + 1), jnp.float32)
+        counts = counts.at[b_idx.ravel(), d.ravel()].add(
+            live.astype(jnp.float32).ravel())
+        widened = sum(jnp.roll(counts, s, axis=1) for s in range(-2, 3))
+        return jnp.max(widened, axis=1) >= 15.0
+
+    rescue_quals = []
+    for q, o in zip(all_quals[1:], all_offs[1:]):
+        keep = _consistent_blocks(q, o)[:, None, None]
+        rescue_quals.append(
+            jnp.where(keep & even_frame, q[:, :, :half], 0.0))
+    quals = jnp.concatenate([all_quals[0]] + rescue_quals, axis=2)
     offs = jnp.concatenate([all_offs[0]]
                            + [o[:, :, :half] for o in all_offs[1:]],
                            axis=2)
