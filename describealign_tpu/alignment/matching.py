@@ -85,14 +85,19 @@ def _windows(x, start, count, width=WINDOW):
 # Coarse pass
 # ---------------------------------------------------------------------------
 
-# sub-lane phase shifts for the VIDEO descriptors: the lane grid is 21
+# Sub-lane phase shifts for the VIDEO descriptors: the lane grid is 21
 # frames but feature correlations decay within ~±5 frames, so a true match
 # whose offset falls mid-lane is invisible to a single-phase score map
 # (found by the long mixed parity case - every other synthetic case used
-# integer-second insertions that land exactly on lane centers). Taking the
-# max over three 7-frame-shifted copies makes every fractional offset
-# visible within ~±3.5 frames, and the ±1.33 s fine band absorbs the rest.
-SUB_LANE_SHIFTS = (0, 7, 14)
+# integer-second insertions that land exactly on lane centers). Max over
+# 3-frame-spaced shifted copies keeps the residual misalignment <= 1.5
+# frames (corr ~0.9), so off-grid TRUE matches compete head-on with
+# exactly-repeating self-similar ridges that sit on-grid - at 3.5-frame
+# granularity the randomized parity campaign still found draws where an
+# on-grid fake outscored the off-grid truth (scripts/parity_campaign.py).
+# Costs ~0.06 s of MXU time at 22-min scale; the ±1.33 s fine band
+# absorbs the residual.
+SUB_LANE_SHIFTS = (0, 3, 6, 9, 12, 15, 18)
 
 
 def _coarse_descriptors(ms, norms, mask, phase=0):

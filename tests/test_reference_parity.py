@@ -159,6 +159,27 @@ def test_parity_long_mixed(ref):
     _assert_mapping_parity(r, o, np.linspace(14, 265, 60), tol_s=0.3)
 
 
+def test_parity_noninteger_offsets_regression(ref):
+    """Non-integer lead-in and skip positions put the true offsets MID-LANE
+    in the coarse grid; with too-coarse sub-lane shift granularity an
+    on-grid self-similar fake ridge outscored the off-grid truth and a
+    16-s region aligned to the wrong content (randomized campaign draw 03,
+    scripts/parity_campaign.py). Pinned here as a regression."""
+    content = speech_like(100.312, seed=503)
+    pieces = [speech_like(17.4376, seed=503 + 9001, amp=5000.0)]
+    cursor = 0.0
+    for k, (cut, dur) in enumerate(((35.14, 5.24), (55.67, 3.85),
+                                    (79.24, 3.82))):
+        pieces.append(content[int(cursor * SR):int(cut * SR)])
+        pieces.append(speech_like(dur, seed=503 + 9100 + k, amp=5000.0))
+        cursor = cut
+    pieces.append(content[int(cursor * SR):])
+    video = _quantize(content)
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(19, 128, 40))
+
+
 def test_parity_low_similarity(ref):
     """Half the description content doesn't exist in the video: both
     implementations should report reduced similarity and still align the
