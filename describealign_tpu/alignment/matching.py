@@ -22,7 +22,11 @@ dense, static-shape kernels:
        keep if prob <= 1e-8 and max(corr_band2, corr_band3) >= band_gate
        qual = min(50, (prob/1e-12)^(-1/3))
    The band2/3 gate mirrors the reference's "matches >=1 of the band-2/3
-   hash dicts" condition (describealign.py:651-653).
+   hash dicts" condition (describealign.py:651-653); BAND_GATE=0.2 and the
+   whole replacement stand validated empirically against the EXECUTED
+   reference: 25 randomized scenarios (non-integer offsets/skips, +/-3%
+   and mid-stream rate changes, 60-200 s leads) agree within 9 ms
+   (scripts/parity_campaign.py + tests/test_reference_parity.py).
    Top-K candidates per audio frame stream out for the exact weighted-LIS.
 
 Everything is one jitted call per shape bucket; no host round-trips.
