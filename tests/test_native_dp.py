@@ -38,6 +38,32 @@ def test_weighted_lis_native_matches_python(seed):
     np.testing.assert_array_equal(a_py, a_cc)
 
 
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_lis_from_match_multigroup_matches_python(seed):
+    """Fused bitmap-frontier LIS == python oracle on matcher-shaped input
+    with rescue bands at far-away starts (stresses the frontier's
+    predecessor/successor scans across distant keys)."""
+    rng = np.random.default_rng(seed)
+    nb, blk, k, g = 24, 210, 12, 3
+    quals = (rng.random((nb, blk, k)) * 50).astype(np.float32)
+    quals[rng.random((nb, blk, k)) < 0.5] = 0.0
+    offs = rng.integers(0, 768, (nb, blk, k), dtype=np.int16)
+    base = (np.arange(nb, dtype=np.int32) * 210)[:, None]
+    starts = np.concatenate(
+        [base, base, np.clip(base + 40000, 0, None)], axis=1).astype(np.int32)
+    got_v, got_a = lis.lis_from_match(quals, offs, starts)
+
+    slot_starts = np.repeat(starts.astype(np.int64), k // g, axis=1)
+    vids = slot_starts[:, None, :] + offs
+    a, v, q = lis.candidates_from_match_output(quals, vids)
+    _, first = np.unique(np.stack([a, v, q.view(np.int64)]), axis=1,
+                         return_index=True)
+    keep = np.sort(first)
+    want_v, want_a = lis.weighted_lis_py(a[keep], v[keep], q[keep])
+    np.testing.assert_array_equal(got_v, want_v)
+    np.testing.assert_array_equal(got_a, want_a)
+
+
 def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
     """Cluster-shaped candidate points like pass 2 produces.
 
