@@ -158,6 +158,10 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
         feats_a_np, na = host_features_padded(audio_pcm_i16, sa, npad)
         dev_a = jax.device_put(feats_a_np)       # audio extraction
         print("  matching audio...  \r", end='')
+        if _use_streaming():
+            y, x = _streamed_lis(dev_a, na, dev_v, nv)
+            return _host_stages_from_path(y, x, feats_a_np, feats_v_np,
+                                          na, nv, fit_backend)
         quals, offs, starts = matching.match_from_features(dev_a, na,
                                                            dev_v, nv)
         return _host_stages(np.asarray(quals), np.asarray(offs),
@@ -324,10 +328,53 @@ def warmup_compile(max_minutes):
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 
+def _streamed_lis(dev_a, na, dev_v, nv):
+    """Chunked matcher + streaming LIS: the fine pass is dispatched in
+    FINE_CHUNK-block pieces; a single prefetch thread pulls chunk i+1 off
+    the device (the D2H releases the GIL, so the link transfer overlaps)
+    while the main thread feeds chunk i into the stateful C++ LIS. Returns
+    (video_path, audio_path), identical to the single-shot pipeline."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cb = matching.FINE_CHUNK
+    chunks, starts_tracks_dev, n_chunks = matching.match_stream(
+        dev_a, na, dev_v, nv)
+    with ThreadPoolExecutor(1) as pool:
+        futs = [pool.submit(
+            lambda ch=ch: (np.asarray(ch[0]), np.asarray(ch[1])))
+            for ch in chunks]
+        # pull the (tiny) coarse starts while the first chunks compute
+        starts_tracks = np.asarray(starts_tracks_dev)
+        # grouped starts for the LIS: band 1 twice (half-spans) + rescues
+        starts_grouped = np.stack(
+            [starts_tracks[0], starts_tracks[0]] + list(starts_tracks[1:]),
+            axis=1).astype(np.int32)                  # (B_pad, G)
+        # the frontier spans the video length plus the int16 offset range
+        max_key = int(starts_grouped.max()) + 32768
+        with lis.LisStream(max_key) as ctx:
+            for c, f in enumerate(futs):
+                q, o = f.result()
+                ctx.feed(q, o, starts_grouped[c * cb:(c + 1) * cb],
+                         a_base=c * cb * 210)
+            return ctx.finish()
+
+
+def _use_streaming():
+    import os
+    return (os.environ.get('DESCRIBEALIGN_STREAM', '1') != '0'
+            and lis.LisStream.available())
+
+
 def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
                  fit_backend, quiet=False):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
     y, x = lis.lis_from_match(quals, offs, starts)  # y=video, x=audio
+    return _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
+                                  fit_backend, quiet)
+
+
+def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
+                           fit_backend, quiet=False):
     _fail_if_short(len(x), nv, na)
 
     if not quiet:

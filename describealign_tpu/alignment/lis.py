@@ -126,6 +126,86 @@ def lis_from_match(quals, offs, starts):
     return weighted_lis_py(a[keep], v[keep], q[keep])
 
 
+class LisStream:
+    """Streaming weighted LIS over chunked matcher output.
+
+    Feed chunks in audio order (each chunk shaped like lis_from_match's
+    input, plus its absolute first audio frame); finish() returns the same
+    (video_path, audio_path) the single-shot lis_from_match would. Lets the
+    host DP run while later chunks are still computing on the device or in
+    flight on the link. Requires the native library (callers check
+    available() and fall back to the single-shot path).
+    """
+
+    def __init__(self, max_video_key):
+        import ctypes
+        self._lib = native_lib()
+        if self._lib is None or not hasattr(self._lib, 'lis_stream_new'):
+            raise RuntimeError("native library unavailable")
+        self._ctx = self._lib.lis_stream_new(
+            ctypes.c_longlong(int(max_video_key) + 2))
+        if not self._ctx:
+            raise RuntimeError("lis_stream_new failed")
+
+    @staticmethod
+    def available():
+        lib = native_lib()
+        return lib is not None and hasattr(lib, 'lis_stream_new')
+
+    def feed(self, quals, offs, starts, a_base):
+        import ctypes
+        quals = np.ascontiguousarray(quals, np.float32)
+        offs = np.ascontiguousarray(offs, np.int16)
+        starts = np.ascontiguousarray(starts, np.int32)
+        if starts.ndim == 1:
+            starts = starts[:, None]
+        nb, blk, k = quals.shape
+        rc = self._lib.lis_stream_feed(
+            ctypes.c_void_p(self._ctx),
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(k), ctypes.c_longlong(starts.shape[1]),
+            ctypes.c_longlong(int(a_base)))
+        if rc != 0:
+            raise RuntimeError("lis_stream_feed failed")
+
+    def finish(self):
+        import ctypes
+        cap = int(self._lib.lis_stream_count(ctypes.c_void_p(self._ctx))) + 1
+        out_v = np.empty(cap, np.int64)
+        out_a = np.empty(cap, np.int64)
+        out_len = ctypes.c_longlong(0)
+        rc = self._lib.lis_stream_finish(
+            ctypes.c_void_p(self._ctx),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            ctypes.byref(out_len))
+        if rc != 0:
+            raise RuntimeError("lis_stream_finish failed")
+        m = out_len.value
+        return out_v[:m].copy(), out_a[:m].copy()
+
+    def close(self):
+        import ctypes
+        if getattr(self, '_ctx', None):
+            self._lib.lis_stream_free(ctypes.c_void_p(self._ctx))
+            self._ctx = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def candidates_from_match_output(quals, vids, block=210):
     """Flatten device matcher output to sorted candidate arrays.
 

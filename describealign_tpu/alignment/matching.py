@@ -322,6 +322,72 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     return quals.astype(jnp.float16), offs, starts
 
 
+# --- streaming (chunked) matcher --------------------------------------------
+# The fine pass is split into fixed-size block chunks so the host can pull
+# chunk i's candidates (D2H) and run the LIS on them while chunks i+1..C
+# are still computing on the device: at 22-min scale the serial
+# compute -> one big D2H -> LIS chain costs ~1.5 s, pipelined it costs
+# ~max(compute, link, LIS) ~= 0.7 s on a tunneled link.
+
+FINE_CHUNK = 256  # blocks (seconds of audio) per streamed fine chunk
+
+
+@partial(jax.jit, static_argnames=())
+def match_coarse(feats_a, len_a, feats_v, len_v):
+    """Preprocess + coarse k-best tracks; the device-resident first half of
+    the streaming matcher.
+
+    Returns (ms_a, norms_a, a_mask, ms_v, norms_v, v_mask) device state for
+    match_fine_chunk plus starts_tracks (T, B_pad) i32, padded to a
+    FINE_CHUNK multiple (padding repeats the last block's starts; padded
+    blocks emit zero quals).
+    """
+    from .preprocess import preprocess_features
+    ms_a, norms_a = preprocess_features(feats_a)
+    ms_v, norms_v = preprocess_features(feats_v)
+    a_mask, v_mask, starts_tracks, _ = _coarse_tracks(
+        ms_a, norms_a, feats_a[0], len_a, ms_v, norms_v, feats_v[0], len_v)
+    nb = starts_tracks.shape[1]
+    b_pad = -(-nb // FINE_CHUNK) * FINE_CHUNK
+    starts_tracks = jnp.pad(starts_tracks, ((0, 0), (0, b_pad - nb)),
+                            mode='edge')
+    return ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks
+
+
+@partial(jax.jit, static_argnames=())
+def match_fine_chunk(ms_a, norms_a, a_mask, ms_v, norms_v, v_mask,
+                     starts_tracks, b0, nb_valid):
+    """Fine pass + rescue gating for FINE_CHUNK blocks starting at traced
+    block index b0. starts_tracks: the full (T, B_pad) device array from
+    match_coarse - the chunk's slice is taken ON DEVICE so no host sync
+    sits between the coarse call and the chunk dispatches. Returns
+    (quals (C, 210, G*K) f16, offs (C, 210, G*K) i16)."""
+    starts_chunk = jax.lax.dynamic_slice_in_dim(starts_tracks, b0,
+                                                FINE_CHUNK, axis=1)
+    quals, offs, _ = _fine_tracks(ms_a, norms_a, a_mask,
+                                  ms_v, norms_v, v_mask,
+                                  starts_chunk, b0, FINE_CHUNK, nb_valid)
+    return quals.astype(jnp.float16), offs
+
+
+def match_stream(dev_a, len_a, dev_v, len_v):
+    """Dispatch the full streaming matcher. Returns (chunk_outputs,
+    starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is
+    a list of async device (quals, offs) pairs in audio order. Everything
+    is dispatched without a single host sync - the caller pulls results."""
+    state = match_coarse(dev_a, len_a, dev_v, len_v)
+    starts_tracks = state[6]                          # (T, B_pad) on device
+    b_pad = starts_tracks.shape[1]
+    n_chunks = b_pad // FINE_CHUNK
+    nb = nb_for(dev_a.shape[1])
+    chunks = []
+    for c in range(n_chunks):
+        chunks.append(match_fine_chunk(
+            state[0], state[1], state[2], state[3], state[4], state[5],
+            starts_tracks, jnp.int32(c * FINE_CHUNK), jnp.int32(nb)))
+    return chunks, starts_tracks, n_chunks
+
+
 def _abs_vids(offs, starts):
     """(B, 210, G*K) absolute video frames from grouped band starts."""
     k_per_group = offs.shape[2] // starts.shape[1]
@@ -348,17 +414,18 @@ N_TRACKS = 2
 SUPPRESS_LANES = 25
 
 
-def _match_core(feats_a, norms_a, energy_a, len_a,
-                feats_v, norms_v, energy_v, len_v):
-    """All-in-one device matcher.
+def nb_for(npad):
+    """Number of fine blocks for a given padded feature length (static)."""
+    ka = (npad - WINDOW - max(SUB_LANE_SHIFTS)) // COARSE_STRIDE + 1
+    return ka // COARSE_PER_BLOCK
 
-    feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
-    energy_*: (Npad,) raw energy feature; len_*: true frame counts.
 
-    Returns (quals (B, 210, G*K), offs (B, 210, G*K) int16,
-    starts (B, G) int32, coarse_offset_frames (B,) of the best track);
-    slot j belongs to band g = j // TOP_K, and its video frame is
-    starts[b, g] + offs[b, l, j].
+def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
+                   feats_v, norms_v, energy_v, len_v):
+    """Masks + coarse score map + k-best DP tracks.
+
+    Returns (a_mask, v_mask, starts_tracks (T, B) i32 band starts,
+    centers (B,) best-track offset frames).
     """
     nv_pad = feats_v.shape[1]
     a_mask = valid_audio_mask(energy_a, len_a)
@@ -371,27 +438,45 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     nb = p_map.shape[0]
     lanes = jnp.arange(p_map.shape[1], dtype=jnp.int32)[None, :]
 
-    v_paths = []
+    starts_tracks = []
+    centers0 = None
     suppressed = p_map
     for _ in range(N_TRACKS):
         v_path = _coarse_dp(suppressed)               # (B,) video coarse idx
-        v_paths.append(v_path)
+        centers = (v_path * COARSE_STRIDE
+                   - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
+        if centers0 is None:
+            centers0 = centers                        # best track's offsets
+        starts_tracks.append(jnp.clip(
+            jnp.arange(nb, dtype=jnp.int32) * BLOCK + centers
+            - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1)))
         suppressed = jnp.where(
             jnp.abs(lanes - v_path[:, None]) <= SUPPRESS_LANES,
             -1e30, suppressed)
+    return a_mask, v_mask, jnp.stack(starts_tracks, axis=0), centers0
+
+
+def _fine_tracks(feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
+                 starts_tracks, b0, count, nb_valid):
+    """Fine pass + rescue gating for `count` blocks starting at block b0.
+
+    starts_tracks: (T, count) band starts for these blocks; b0 may be a
+    traced scalar (the streaming path slices chunks out of one compiled
+    program). Blocks >= nb_valid (chunk padding) emit zero quals.
+
+    Returns (quals (count, 210, G*K) f32, offs int16,
+    starts_grouped (count, G) i32) - slot j belongs to group j // (K//2)
+    for rescue bands; band 1 spans groups 0-1.
+    """
+    b_global = b0 + jnp.arange(count, dtype=jnp.int32)
+    # the opt-in Pallas kernel indexes blocks from 0 - full pass only
+    pallas_ok = _use_pallas() and isinstance(b0, int) and b0 == 0
 
     all_quals, all_offs, all_starts = [], [], []
-    center_frames = None
-    for v_path in v_paths:
-        centers = (v_path * COARSE_STRIDE
-                   - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
-        if center_frames is None:
-            center_frames = centers                   # best track's offsets
-        starts = jnp.clip(
-            jnp.arange(nb, dtype=jnp.int32) * BLOCK + centers
-            - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1))
+    for t in range(starts_tracks.shape[0]):
+        starts = starts_tracks[t]
 
-        if _use_pallas():
+        if pallas_ok:
             from ..ops.pallas_fine import fine_match_pallas
             quals, vids = fine_match_pallas(
                 feats_a, norms_a, a_mask.astype(jnp.float32),
@@ -405,8 +490,8 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
                                    a_mask, v_mask, b, start)
 
             quals, offs = jax.lax.map(
-                one_block, (jnp.arange(nb, dtype=jnp.int32), starts),
-                batch_size=32)
+                one_block, (b_global, starts), batch_size=32)
+        quals = jnp.where((b_global < nb_valid)[:, None, None], quals, 0.0)
         all_quals.append(quals)
         all_offs.append(offs)
         all_starts.append(starts)
@@ -447,5 +532,27 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
                            + [o[:, :, :half] for o in all_offs[1:]],
                            axis=2)
     starts = jnp.stack([all_starts[0], all_starts[0]]
-                       + all_starts[1:], axis=1)      # (B, G) per half-span
-    return quals, offs, starts, center_frames
+                       + all_starts[1:], axis=1)      # (count, G)
+    return quals, offs, starts
+
+
+def _match_core(feats_a, norms_a, energy_a, len_a,
+                feats_v, norms_v, energy_v, len_v):
+    """All-in-one device matcher.
+
+    feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
+    energy_*: (Npad,) raw energy feature; len_*: true frame counts.
+
+    Returns (quals (B, 210, G*K), offs (B, 210, G*K) int16,
+    starts (B, G) int32, coarse_offset_frames (B,) of the best track);
+    slot j belongs to band g = j // TOP_K, and its video frame is
+    starts[b, g] + offs[b, l, j].
+    """
+    a_mask, v_mask, starts_tracks, centers = _coarse_tracks(
+        feats_a, norms_a, energy_a, len_a,
+        feats_v, norms_v, energy_v, len_v)
+    nb = starts_tracks.shape[1]
+    quals, offs, starts = _fine_tracks(
+        feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
+        starts_tracks, 0, nb, nb)
+    return quals, offs, starts, centers

@@ -84,6 +84,14 @@ def native_lib():
             lib = ctypes.CDLL(_OUT)
             lib.weighted_lis.restype = ctypes.c_int
             lib.lis_from_match.restype = ctypes.c_int
+            lib.lis_stream_new.restype = ctypes.c_void_p
+            lib.lis_stream_new.argtypes = [ctypes.c_longlong]
+            lib.lis_stream_free.restype = None
+            lib.lis_stream_free.argtypes = [ctypes.c_void_p]
+            lib.lis_stream_feed.restype = ctypes.c_int
+            lib.lis_stream_count.restype = ctypes.c_longlong
+            lib.lis_stream_count.argtypes = [ctypes.c_void_p]
+            lib.lis_stream_finish.restype = ctypes.c_int
             lib.refine_dp.restype = ctypes.c_int
             lib.tv1d_weighted.restype = ctypes.c_int
             lib.extract_features_i16.restype = ctypes.c_int

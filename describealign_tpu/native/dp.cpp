@@ -140,6 +140,20 @@ struct BitFrontier {
   }
 };
 
+// Streaming weighted-LIS context: chunks of matcher output (in audio
+// order) feed one frontier, so the host DP can run while later chunks are
+// still computing on the device / in flight on the link.
+struct LisStream {
+  struct Node { int64_t v, a; int64_t prev; };
+  std::vector<Node> nodes;
+  BitFrontier best;
+  explicit LisStream(int64_t cap) : best(cap) {
+    nodes.reserve(1 << 20);
+    nodes.push_back({-1, -1, -1});  // sentinel
+    best.set(0, 0.0, 0);
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -208,27 +222,29 @@ int weighted_lis(const int64_t* video_idx, const int64_t* audio_idx,
 // weighted_lis above, and exact duplicates (overlapping bands yielding
 // the same candidate) collapse to one like the reference's per-frame
 // candidate sets. Outputs as in weighted_lis. Returns 0 on success.
-int lis_from_match(const float* quals, const int16_t* voffs,
-                   const int32_t* starts, int64_t nb, int64_t blk,
-                   int64_t k, int64_t n_groups,
-                   int64_t* out_video, int64_t* out_audio, int64_t* out_len) {
-  if (k > 64 || n_groups < 1 || k % n_groups != 0) return 1;
-  const int64_t k_per_group = k / n_groups;
-  struct Node { int64_t v, a; int64_t prev; };
-  std::vector<Node> nodes;
-  nodes.reserve(1 << 20);
-  nodes.push_back({-1, -1, -1});  // sentinel
+// --- streaming API: new -> feed (chunks in audio order) -> finish -> free.
+// Frontier keys are video frames shifted by +1 (sentinel v=-1 -> key 0);
+// cap must exceed the largest possible video frame + 1.
+void* lis_stream_new(int64_t cap) {
+  if (cap < 2 || cap > (int64_t{1} << 31)) return nullptr;
+  return new LisStream(cap);
+}
 
-  // Frontier keys are video frames shifted by +1 (sentinel v=-1 -> key 0),
-  // bounded by the largest band start plus the int16 offset range.
-  int64_t max_start = 0;
-  for (int64_t i = 0; i < nb * n_groups; ++i) {
-    if (starts[i] > max_start) max_start = starts[i];
-  }
-  const int64_t cap = max_start + 32767 + 2;
-  if (cap > (int64_t{1} << 31)) return 1;  // caller falls back
-  BitFrontier best(cap);
-  best.set(0, 0.0, 0);  // sentinel
+void lis_stream_free(void* ctx) {
+  delete static_cast<LisStream*>(ctx);
+}
+
+// quals/voffs: (nb, blk, k); starts: (nb, n_groups) band starts for THIS
+// chunk; a_base: absolute audio frame of the chunk's first row.
+int lis_stream_feed(void* ctx, const float* quals, const int16_t* voffs,
+                    const int32_t* starts, int64_t nb, int64_t blk,
+                    int64_t k, int64_t n_groups, int64_t a_base) {
+  if (!ctx || k > 64 || n_groups < 1 || k % n_groups != 0) return 1;
+  LisStream& st = *static_cast<LisStream*>(ctx);
+  std::vector<LisStream::Node>& nodes = st.nodes;
+  BitFrontier& best = st.best;
+  const int64_t cap = best.cap;
+  const int64_t k_per_group = k / n_groups;
 
   struct Cand { int64_t v; double q; };
   Cand cands[64];
@@ -252,7 +268,7 @@ int lis_from_match(const float* quals, const int16_t* voffs,
           cands[p] = c;
         }
       }
-      const int64_t a = b * blk + l;
+      const int64_t a = a_base + b * blk + l;
       for (int t = 0; t < m; ++t) {
         if (t > 0 && cands[t].v == cands[t - 1].v
             && cands[t].q == cands[t - 1].q) {
@@ -276,14 +292,26 @@ int lis_from_match(const float* quals, const int16_t* voffs,
       }
     }
   }
+  return 0;
+}
 
-  int64_t cur = best.node[static_cast<size_t>(best.last())];
+// number of candidates inserted so far (an upper bound on the path length,
+// for sizing the finish() output buffers)
+int64_t lis_stream_count(void* ctx) {
+  return static_cast<int64_t>(static_cast<LisStream*>(ctx)->nodes.size()) - 1;
+}
+
+int lis_stream_finish(void* ctx, int64_t* out_video, int64_t* out_audio,
+                      int64_t* out_len) {
+  if (!ctx) return 1;
+  LisStream& st = *static_cast<LisStream*>(ctx);
+  int64_t cur = st.best.node[static_cast<size_t>(st.best.last())];
   int64_t m = 0;
   while (cur != 0) {
-    out_video[m] = nodes[cur].v;
-    out_audio[m] = nodes[cur].a;
+    out_video[m] = st.nodes[static_cast<size_t>(cur)].v;
+    out_audio[m] = st.nodes[static_cast<size_t>(cur)].a;
     ++m;
-    cur = nodes[cur].prev;
+    cur = st.nodes[static_cast<size_t>(cur)].prev;
   }
   for (int64_t i = 0; i < m / 2; ++i) {
     std::swap(out_video[i], out_video[m - 1 - i]);
@@ -291,6 +319,24 @@ int lis_from_match(const float* quals, const int16_t* voffs,
   }
   *out_len = m;
   return 0;
+}
+
+int lis_from_match(const float* quals, const int16_t* voffs,
+                   const int32_t* starts, int64_t nb, int64_t blk,
+                   int64_t k, int64_t n_groups,
+                   int64_t* out_video, int64_t* out_audio, int64_t* out_len) {
+  // single-shot wrapper over the streaming API
+  int64_t max_start = 0;
+  for (int64_t i = 0; i < nb * n_groups; ++i) {
+    if (starts[i] > max_start) max_start = starts[i];
+  }
+  void* ctx = lis_stream_new(max_start + 32767 + 2);
+  if (!ctx) return 1;
+  int rc = lis_stream_feed(ctx, quals, voffs, starts, nb, blk, k, n_groups,
+                           0);
+  if (rc == 0) rc = lis_stream_finish(ctx, out_video, out_audio, out_len);
+  lis_stream_free(ctx);
+  return rc;
 }
 
 // --------------------------------------------------------------------------

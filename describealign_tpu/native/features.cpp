@@ -16,8 +16,16 @@
 
 #include <cstdint>
 #include <cstring>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
+
+#if defined(__AVX512F__) && defined(__F16C__)
+#include <immintrin.h>
+#define DA_AVX512 1
+#endif
 
 namespace {
 
@@ -67,6 +75,78 @@ std::vector<float> hann_taps(int n_plus_2) {
   return w;
 }
 
+// Small-W polyphase blur (the blur=3 full-rate stages): a dot per output
+// never fills the vector units (the 15-21 tap window is shorter than two
+// AVX registers). Decompose by phase instead: with d = ds*t + p,
+//   out[j] = sum_p sum_t w[ds*t+p] * x[ds*(j + c - blur + 1 + t) + p]
+// so per (p, t) the update is a CONTIGUOUS axpy over the deinterleaved
+// phase signal xph_p[i] = x[ds*i + p]. Blocked so the deinterleave source
+// and phase buffers stay L2-resident; the deinterleave itself is an
+// AVX-512 gather (a scalar strided load dominated the stage otherwise).
+//
+// When band_energy != nullptr, also emits the residual band energy
+//   band_energy[j] = sum_p (x[ds*j + p] - out[j])^2
+// from the same hot phase buffers (saves a full re-read of x, and makes
+// the ds-wide horizontal sum a sequence of contiguous vertical passes in
+// the exact accumulation order of the scalar loop it replaces).
+void small_w_blur(const float* x, int ds, int blur, int64_t no,
+                  const std::vector<float>& w, float* out,
+                  float* band_energy) {
+  const int64_t BLK = 4096;
+  const int c = (blur - 1) / 2;
+  const int64_t shift0 = c - blur + 1;              // <= 0 (c < blur)
+  std::vector<float> ph(static_cast<size_t>(ds) * (BLK + blur));
+  for (int64_t j0 = 0; j0 < no; j0 += BLK) {
+    const int64_t jn = (BLK < no - j0) ? BLK : (no - j0);
+    const int64_t i0 = j0 + shift0;                 // first phase index
+    const int64_t cnt = jn + blur - 1;              // phase indices used
+    const int64_t u_lo = (i0 < 0) ? -i0 : 0;        // valid index window
+    const int64_t u_hi = (no - i0 < cnt) ? (no - i0) : cnt;
+    for (int p = 0; p < ds; ++p) {
+      float* dst = ph.data() + static_cast<size_t>(p) * (BLK + blur);
+      for (int64_t u = 0; u < u_lo; ++u) dst[u] = 0.f;
+      for (int64_t u = (u_hi > u_lo) ? u_hi : u_lo; u < cnt; ++u)
+        dst[u] = 0.f;
+      int64_t u = u_lo;
+#ifdef DA_AVX512
+      const __m512i gstep = _mm512_mullo_epi32(
+          _mm512_set_epi32(15, 14, 13, 12, 11, 10, 9, 8,
+                           7, 6, 5, 4, 3, 2, 1, 0),
+          _mm512_set1_epi32(ds));
+      for (; u + 16 <= u_hi; u += 16) {
+        const float* base = x + ds * (i0 + u) + p;
+        _mm512_storeu_ps(dst + u,
+                         _mm512_i32gather_ps(gstep, base, 4));
+      }
+#endif
+      for (; u < u_hi; ++u) dst[u] = x[ds * (i0 + u) + p];
+    }
+    float* op = out + j0;
+    for (int64_t jj = 0; jj < jn; ++jj) op[jj] = 0.f;
+    for (int p = 0; p < ds; ++p) {
+      const float* src = ph.data() + static_cast<size_t>(p) * (BLK + blur);
+      for (int t = 0; t < blur; ++t) {
+        const float wv = w[static_cast<size_t>(ds * t + p)];
+        const float* s = src + t;
+        for (int64_t jj = 0; jj < jn; ++jj) op[jj] += wv * s[jj];
+      }
+    }
+    if (band_energy) {
+      float* be = band_energy + j0;
+      // x[ds*j + p] = ph_p[j - i0]; -shift0 offsets into the buffer
+      for (int64_t jj = 0; jj < jn; ++jj) be[jj] = 0.f;
+      for (int p = 0; p < ds; ++p) {
+        const float* s = ph.data() + static_cast<size_t>(p) * (BLK + blur)
+                         - shift0;
+        for (int64_t jj = 0; jj < jn; ++jj) {
+          const float d = s[jj] - op[jj];
+          be[jj] += d * d;
+        }
+      }
+    }
+  }
+}
+
 // np.convolve(x, taps, mode='same'): zero-padded, center (t-1)/2.
 // Tap-major shift-and-add: each tap contributes one contiguous
 // vectorizable pass, so the compiler's auto-vectorizer gets clean loops.
@@ -94,8 +174,12 @@ void conv_same(const float* x, int64_t n, const std::vector<float>& taps,
 // taps (w[d - lo] = taps[2*(d mod ds) - d]); per-phase zero padding is
 // exactly index clipping. One contiguous dot per output vectorizes far
 // better than ds separate phase passes.
-std::vector<float> downsample_blur(const float* x, int64_t n, int ds,
-                                   int blur) {
+// When band_energy != nullptr it receives the per-output residual energy
+// sum_p (x[ds*j+p] - out[j])^2 (resized to match out), fused into the
+// blocked pass when the small-W path applies.
+void downsample_blur(const float* x, int64_t n, int ds, int blur,
+                     std::vector<float>& out,
+                     std::vector<float>* band_energy = nullptr) {
   int64_t m = n - (n % ds);
   int64_t no = m / ds;
   int W = ds * blur;
@@ -107,7 +191,19 @@ std::vector<float> downsample_blur(const float* x, int64_t n, int ds,
     int i = ((d % ds) + ds) % ds;
     w[static_cast<size_t>(d - lo)] = taps[static_cast<size_t>(2 * i - d)];
   }
-  std::vector<float> out(static_cast<size_t>(no));
+  out.resize(static_cast<size_t>(no));
+
+  if (band_energy) band_energy->resize(static_cast<size_t>(no));
+  if (W <= 64 && no >= 1024) {
+    small_w_blur(x, ds, blur, no, w, out.data(),
+                 band_energy ? band_energy->data() : nullptr);
+    return;
+  }
+  if (band_energy) {
+    // rare path (short inputs): compute the residual energy separately
+    // after the dot-product loop below fills `out`
+  }
+
   for (int64_t j = 0; j < no; ++j) {
     int64_t base = ds * (j + c) + lo;
     int64_t klo = base < 0 ? -base : 0;
@@ -132,10 +228,50 @@ std::vector<float> downsample_blur(const float* x, int64_t n, int ds,
     for (; k < khi; ++k) s += w[static_cast<size_t>(k)] * xp[k];
     out[static_cast<size_t>(j)] = s;
   }
-  return out;
+  if (band_energy) {
+    for (int64_t j = 0; j < no; ++j) {
+      const float* p = x + j * ds;
+      const float b = out[static_cast<size_t>(j)];
+      float s = 0.f;
+      for (int i = 0; i < ds; ++i) {
+        const float d = p[i] - b;
+        s += d * d;
+      }
+      (*band_energy)[static_cast<size_t>(j)] = s;
+    }
+  }
 }
 
 inline float log_comp(float x) { return std::log10(1.f + x) / 2.f; }
+
+// dev-only stage timing, enabled by DESCRIBEALIGN_FEAT_PROFILE=1
+struct StageTimer {
+  bool on;
+  std::chrono::steady_clock::time_point t;
+  StageTimer() : on(std::getenv("DESCRIBEALIGN_FEAT_PROFILE") != nullptr),
+                 t(std::chrono::steady_clock::now()) {}
+  void lap(const char* name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "  [feat] %-12s %.3fs\n", name,
+                 std::chrono::duration<double>(now - t).count());
+    t = now;
+  }
+};
+
+// Reused per-thread buffers: the extractor's intermediates total ~700 MB
+// of traffic at 27-min scale; allocating them fresh each call costs more
+// in page faults + zero-init than the arithmetic itself. Capacity persists
+// across calls (media-length bounded), so steady-state runs touch no new
+// pages. thread_local: batch mode may extract from worker threads.
+struct FeatScratch {
+  std::vector<float> arr, energy, smooth, counts;
+  std::vector<float> bottom[2], band_energy, band;
+};
+FeatScratch& feat_scratch() {
+  static thread_local FeatScratch s;
+  return s;
+}
 
 }  // namespace
 
@@ -150,6 +286,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
                          int64_t samples, float* out, int64_t out_stride,
                          int64_t* out_lens) {
   if (channels < 1 || samples < 210) return 1;
+  StageTimer st;
 
   // --- f16-grid PCM (per channel) and channel mean ------------------------
   // int16 -> f16 via a 64K lookup table (exact round-to-nearest-even)
@@ -168,13 +305,53 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   // the energy feature needs; no full-rate intermediate is materialized
   // twice.
   int64_t n_arr = samples - samples % 210;
-  std::vector<float> arr(static_cast<size_t>(n_arr));
+  FeatScratch& S = feat_scratch();
+  std::vector<float>& arr = S.arr;
+  arr.resize(static_cast<size_t>(n_arr));
   int64_t ne = samples / 105;
-  std::vector<float> energy(static_cast<size_t>(ne));
+  std::vector<float>& energy = S.energy;
+  energy.resize(static_cast<size_t>(ne));
   {
     float inv = 1.f / (105.f * static_cast<float>(channels));
     if (channels == 1) {
       const int16_t* p = pcm;
+#ifdef DA_AVX512
+      // int16 -> f32 -> f16 -> f32 entirely in vector registers: the
+      // convert pair IS round-to-nearest-even onto the f16 grid, so it
+      // replaces the 64K-LUT gather (the scalar path's bottleneck).
+      int64_t i = 0;
+      for (; i + 16 <= n_arr; i += 16) {
+        __m256i v16 = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(p + i));
+        __m512 f = _mm512_cvtepi32_ps(_mm512_cvtepi16_epi32(v16));
+        __m256i h = _mm512_cvtps_ph(f, _MM_FROUND_TO_NEAREST_INT);
+        _mm512_storeu_ps(arr.data() + i, _mm512_cvtph_ps(h));
+      }
+      for (; i < n_arr; ++i)
+        arr[static_cast<size_t>(i)] = lut[static_cast<uint16_t>(p[i])];
+      int64_t b = 0;
+      for (; b * 105 + 105 <= n_arr; ++b) {
+        const float* q = arr.data() + b * 105;
+        __m512 acc = _mm512_setzero_ps();
+        for (int k = 0; k + 16 <= 105; k += 16) {
+          __m512 v = _mm512_loadu_ps(q + k);
+          acc = _mm512_fmadd_ps(v, v, acc);
+        }
+        __m512 v = _mm512_maskz_loadu_ps((1u << (105 - 96)) - 1, q + 96);
+        acc = _mm512_fmadd_ps(v, v, acc);
+        energy[static_cast<size_t>(b)] = _mm512_reduce_add_ps(acc) * inv;
+      }
+      for (; b < ne; ++b) {  // tail block(s) past the 210-trimmed arr
+        float s = 0.f;
+        const int64_t i0 = b * 105;
+        for (int k = 0; k < 105; ++k) {
+          float v = lut[static_cast<uint16_t>(p[i0 + k])];
+          if (i0 + k < n_arr) arr[static_cast<size_t>(i0 + k)] = v;
+          s += v * v;
+        }
+        energy[static_cast<size_t>(b)] = s * inv;
+      }
+#else
       for (int64_t b = 0; b < ne; ++b) {
         float s = 0.f;
         const int64_t i0 = b * 105;
@@ -195,6 +372,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
         }
         energy[static_cast<size_t>(b)] = s * inv;
       }
+#endif
     } else {
       // numpy float16 mean over channels accumulates in FLOAT32 and rounds
       // once (np.mean special-cases f16); per-step f16 rounding would
@@ -220,9 +398,11 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     }
   }
 
+  st.lap("front");
   // --- energy (reference 545-555) -----------------------------------------
   {
-    std::vector<float> smooth(static_cast<size_t>(ne));
+    std::vector<float>& smooth = S.smooth;
+    smooth.resize(static_cast<size_t>(ne));
     conv_same(energy.data(), ne, hann_taps(15), smooth.data());
     int64_t no = (ne + 1) / 2;
     for (int64_t i = 0; i < no; ++i)
@@ -230,22 +410,28 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     out_lens[0] = no;
   }
 
+  st.lap("energy");
   // --- zero crossings (reference 557-566) ----------------------------------
   {
     int64_t n = samples - samples % 210;
     int64_t nz = n / 210;
-    std::vector<float> counts(static_cast<size_t>(nz), 0.f);
+    std::vector<float>& counts = S.counts;
+    counts.assign(static_cast<size_t>(nz), 0.f);
     for (int64_t c = 0; c < channels; ++c) {
       const int16_t* p = pcm + c * samples;
-      bool prev = false;  // np.diff(..., prepend=False)
+      // sign(q[k]) != sign(q[k-1])  <=>  the xor's sign bit is set; the
+      // adjacent-load form has no loop-carried state, so it vectorizes
+      // (the old running-bool `prev` forced a serial chain)
       for (int64_t b = 0; b < nz; ++b) {
-        int cnt = 0;
         const int16_t* q = p + b * 210;
-        for (int k = 0; k < 210; ++k) {
-          bool s = q[k] < 0;
-          cnt += (s != prev);
-          prev = s;
+        int32_t cnt = 0;
+        int k0 = 0;
+        if (b == 0) {  // np.diff(..., prepend=False): first diff vs "false"
+          cnt += (q[0] < 0);
+          k0 = 1;
         }
+        for (int k = k0; k < 210; ++k)
+          cnt += static_cast<uint16_t>(q[k] ^ q[k - 1]) >> 15;
         counts[static_cast<size_t>(b)] += static_cast<float>(cnt);
       }
     }
@@ -256,46 +442,44 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     out_lens[1] = nz;
   }
 
+  st.lap("zcr");
   // --- freq bands (reference 568-593) --------------------------------------
   {
     const int downsamples[3] = {5, 7, 6};
     int64_t decimation = 1;
-    std::vector<float> cur = std::move(arr);
+    const float* cur = arr.data();
+    int64_t cur_n = static_cast<int64_t>(arr.size());
     for (int stage = 0; stage < 3; ++stage) {
       int ds = downsamples[stage];
-      int64_t m = static_cast<int64_t>(cur.size());
-      m -= m % ds;
+      int64_t m = cur_n - cur_n % ds;
       int64_t nb = m / ds;
-      std::vector<float> bottom;
-      if (stage < 2) bottom = downsample_blur(cur.data(), m, ds, 3);
+      std::vector<float>& bottom = S.bottom[stage & 1];
+      std::vector<float>& band_energy = S.band_energy;
       decimation *= ds;
-      std::vector<float> band_energy(static_cast<size_t>(nb));
       if (stage < 2) {
-        for (int64_t j = 0; j < nb; ++j) {
-          const float* p = cur.data() + j * ds;
-          const float b = bottom[static_cast<size_t>(j)];
-          float s = 0.f;
-          for (int i = 0; i < ds; ++i) {
-            float d = p[i] - b;
-            s += d * d;
-          }
-          band_energy[static_cast<size_t>(j)] = s;
-        }
+        downsample_blur(cur, m, ds, 3, bottom, &band_energy);
       } else {
+        band_energy.resize(static_cast<size_t>(nb));
         for (int64_t j = 0; j < nb; ++j) {
-          const float* p = cur.data() + j * ds;
+          const float* p = cur + j * ds;
           float s = 0.f;
           for (int i = 0; i < ds; ++i) s += p[i] * p[i];
           band_energy[static_cast<size_t>(j)] = s;
         }
       }
-      std::vector<float> band = downsample_blur(
-          band_energy.data(), nb, static_cast<int>(210 / decimation), 15);
+      st.lap("  blur+be");
+      std::vector<float>& band = S.band;
+      downsample_blur(band_energy.data(), nb,
+                      static_cast<int>(210 / decimation), 15, band);
       float* dst = out + (2 + stage) * out_stride;
       for (size_t j = 0; j < band.size(); ++j)
         dst[j] = log_comp(band[j] / 210.f);
       out_lens[2 + stage] = static_cast<int64_t>(band.size());
-      cur = std::move(bottom);
+      char nm[16];
+      std::snprintf(nm, sizeof nm, "band%d", stage);
+      st.lap(nm);
+      cur = bottom.data();
+      cur_n = static_cast<int64_t>(bottom.size());
     }
   }
   return 0;
