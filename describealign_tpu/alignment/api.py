@@ -340,9 +340,7 @@ def _streamed_lis(dev_a, na, dev_v, nv):
     chunks, starts_tracks_dev, n_chunks = matching.match_stream(
         dev_a, na, dev_v, nv)
     with ThreadPoolExecutor(1) as pool:
-        futs = [pool.submit(
-            lambda ch=ch: (np.asarray(ch[0]), np.asarray(ch[1])))
-            for ch in chunks]
+        futs = [pool.submit(lambda ch=ch: np.asarray(ch)) for ch in chunks]
         # pull the (tiny) coarse starts while the first chunks compute
         starts_tracks = np.asarray(starts_tracks_dev)
         # grouped starts for the LIS: band 1 twice (half-spans) + rescues
@@ -353,7 +351,10 @@ def _streamed_lis(dev_a, na, dev_v, nv):
         max_key = int(starts_grouped.max()) + 32768
         with lis.LisStream(max_key) as ctx:
             for c, f in enumerate(futs):
-                q, o = f.result()
+                packed = f.result()                   # (C, 210, 2*GK) i16
+                gk = packed.shape[2] // 2
+                q = packed[:, :, :gk].view(np.float16)
+                o = packed[:, :, gk:]
                 ctx.feed(q, o, starts_grouped[c * cb:(c + 1) * cb],
                          a_base=c * cb * 210)
             return ctx.finish()

@@ -367,7 +367,12 @@ def match_fine_chunk(ms_a, norms_a, a_mask, ms_v, norms_v, v_mask,
     quals, offs, _ = _fine_tracks(ms_a, norms_a, a_mask,
                                   ms_v, norms_v, v_mask,
                                   starts_chunk, b0, FINE_CHUNK, nb_valid)
-    return quals.astype(jnp.float16), offs
+    # pack (f16 quals | i16 offs) into ONE buffer: each D2H pull pays a
+    # ~26 ms round trip on the tunneled link, so one pull per chunk, not two
+    packed = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(quals.astype(jnp.float16), jnp.int16),
+         offs], axis=2)
+    return packed
 
 
 def match_stream(dev_a, len_a, dev_v, len_v):

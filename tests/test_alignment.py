@@ -48,6 +48,36 @@ def test_align_with_insertions():
     assert abs(median_slope - 1.0) < 0.01
 
 
+def test_streamed_lis_matches_single_shot():
+    """The chunked matcher + streaming LIS must yield the exact path the
+    single-shot match_from_features + lis_from_match pipeline yields."""
+    import jax
+    from describealign_tpu.alignment import lis, matching
+    from describealign_tpu.alignment.api import (_bucket_pad, _streamed_lis,
+                                                 host_features_padded)
+    if not lis.LisStream.available():
+        pytest.skip("native library unavailable")
+    video, audio, _ = build_pair(
+        content_seconds=45.0, narration=((15.0, 3.0), (30.0, 4.0)),
+        lead_in=0.0, seed=7)
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    video, audio = to_i16(video), to_i16(audio)
+    sv, sa = video.shape[1], audio.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(video, sv, npad)
+    fa, na = host_features_padded(audio, sa, npad)
+    dev_v, dev_a = jax.device_put(fv), jax.device_put(fa)
+    quals, offs, starts = matching.match_from_features(dev_a, na, dev_v, nv)
+    want_y, want_x = lis.lis_from_match(np.asarray(quals), np.asarray(offs),
+                                        np.asarray(starts))
+    got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+    np.testing.assert_array_equal(got_y, want_y)
+    np.testing.assert_array_equal(got_x, want_x)
+
+
 def test_align_mismatched_raises():
     """Unrelated content must fail alignment, like the reference does."""
     # reuse the dims of test_align_offset_only so compiled shapes are cached
