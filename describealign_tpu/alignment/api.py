@@ -213,6 +213,9 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     if mesh is not None:
         return _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
                                     host_workers)
+    if host_path and _use_streaming():
+        return _align_batch_streamed(pairs, true_samples, fit_backend,
+                                     host_workers)
 
     def dispatch(i):
         v, a = pairs[i]
@@ -254,6 +257,62 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
                 in_flight.append(dispatch(next_i))
                 next_i += 1
         return [f.result() for f in futs]
+
+
+def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
+    """Batch via the streaming matcher: the main thread extracts features
+    and dispatches pair i+1's device work while worker threads consume
+    pair i's chunks (D2H pulls, the C++ LIS, and the refinement tail all
+    release the GIL, so a single-core host still overlaps its CPU work
+    with the link and the device). In-flight pairs are bounded to cap HBM
+    and host memory."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    cb = matching.FINE_CHUNK
+    b = len(pairs)
+    results = [None] * b
+    in_flight = threading.Semaphore(3)
+
+    def consume(chunks, starts_dev, fa, fv, na, nv):
+        try:
+            starts_tracks = np.asarray(starts_dev)
+            starts_grouped = np.stack(
+                [starts_tracks[0], starts_tracks[0]]
+                + list(starts_tracks[1:]), axis=1).astype(np.int32)
+            max_key = int(starts_grouped.max()) + 32768
+            with lis.LisStream(max_key) as ctx:
+                for c, ch in enumerate(chunks):
+                    packed = np.asarray(ch)
+                    gk = packed.shape[2] // 2
+                    ctx.feed(packed[:, :, :gk].view(np.float16),
+                             packed[:, :, gk:],
+                             starts_grouped[c * cb:(c + 1) * cb],
+                             a_base=c * cb * 210)
+                y, x = ctx.finish()
+            return _host_stages_from_path(y, x, fa, fv, na, nv,
+                                          fit_backend, True)
+        finally:
+            in_flight.release()
+
+    futs = []
+    with ThreadPoolExecutor(max_workers=max(2, host_workers)) as pool:
+        for i in range(b):
+            v, a = pairs[i]
+            sv, sa = true_samples[i]
+            in_flight.acquire()
+            npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+            fv, nv = host_features_padded(v, sv, npad)
+            dev_v = jax.device_put(fv)
+            fa, na = host_features_padded(a, sa, npad)
+            dev_a = jax.device_put(fa)
+            chunks, starts_dev, _ = matching.match_stream(dev_a, na,
+                                                          dev_v, nv)
+            futs.append((i, pool.submit(consume, chunks, starts_dev,
+                                        fa, fv, na, nv)))
+        for i, f in futs:
+            results[i] = f.result()
+    return results
 
 
 def _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
