@@ -22,7 +22,7 @@
 #include <cstdlib>
 #include <vector>
 
-#if defined(__AVX512F__) && defined(__F16C__)
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__F16C__)
 #include <immintrin.h>
 #define DA_AVX512 1
 #endif
@@ -75,6 +75,28 @@ std::vector<float> hann_taps(int n_plus_2) {
   return w;
 }
 
+// int16 -> f16-grid f32 lookup (exact round-to-nearest-even), shared by
+// the scalar paths; thread-safe via C++11 magic statics.
+const float* f16_lut() {
+  static const std::vector<float> lut = [] {
+    std::vector<float> t(65536);
+    for (int v = -32768; v < 32768; ++v)
+      t[static_cast<uint16_t>(static_cast<int16_t>(v))] =
+          f16_grid(static_cast<float>(v));
+    return t;
+  }();
+  return lut.data();
+}
+
+#ifdef DA_AVX512
+// 16 int16 -> f32 -> f16 -> f32 in registers: the convert pair IS
+// round-to-nearest-even onto the f16 grid (replaces the 64K-LUT gather)
+inline __m512 cvt_i16_f16grid(__m256i v16) {
+  __m512 f = _mm512_cvtepi32_ps(_mm512_cvtepi16_epi32(v16));
+  return _mm512_cvtph_ps(_mm512_cvtps_ph(f, _MM_FROUND_TO_NEAREST_INT));
+}
+#endif
+
 // Small-W polyphase blur (the blur=3 full-rate stages): a dot per output
 // never fills the vector units (the 15-21 tap window is shorter than two
 // AVX registers). Decompose by phase instead: with d = ds*t + p,
@@ -89,19 +111,41 @@ std::vector<float> hann_taps(int n_plus_2) {
 // from the same hot phase buffers (saves a full re-read of x, and makes
 // the ds-wide horizontal sum a sequence of contiguous vertical passes in
 // the exact accumulation order of the scalar loop it replaces).
-void small_w_blur(const float* x, int ds, int blur, int64_t no,
-                  const std::vector<float>& w, float* out,
+// When xi != nullptr, x is ignored and the source samples are int16 PCM
+// converted to the f16 grid block-locally (a ~100 KB L2-resident buffer),
+// so the full-rate f32 intermediate never has to exist in memory.
+void small_w_blur(const float* x, const int16_t* xi, int ds, int blur,
+                  int64_t no, const std::vector<float>& w, float* out,
                   float* band_energy) {
   const int64_t BLK = 4096;
   const int c = (blur - 1) / 2;
   const int64_t shift0 = c - blur + 1;              // <= 0 (c < blur)
   std::vector<float> ph(static_cast<size_t>(ds) * (BLK + blur));
+  std::vector<float> conv(xi ? static_cast<size_t>(ds) * (BLK + blur) : 0);
   for (int64_t j0 = 0; j0 < no; j0 += BLK) {
     const int64_t jn = (BLK < no - j0) ? BLK : (no - j0);
     const int64_t i0 = j0 + shift0;                 // first phase index
     const int64_t cnt = jn + blur - 1;              // phase indices used
     const int64_t u_lo = (i0 < 0) ? -i0 : 0;        // valid index window
     const int64_t u_hi = (no - i0 < cnt) ? (no - i0) : cnt;
+    if (xi && u_hi > u_lo) {
+      // convert this block's sample window once; the gathers below then
+      // read the same values the f32 path would
+      const int64_t s0 = ds * (i0 + u_lo);
+      const int64_t s1 = ds * (i0 + u_hi);
+      float* cb = conv.data();
+      int64_t s = s0;
+#ifdef DA_AVX512
+      for (; s + 16 <= s1; s += 16)
+        _mm512_storeu_ps(cb + (s - s0), cvt_i16_f16grid(
+            _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(xi + s))));
+#endif
+      const float* lut = f16_lut();
+      for (; s < s1; ++s)
+        cb[s - s0] = lut[static_cast<uint16_t>(xi[s])];
+      x = cb - s0;
+    }
     for (int p = 0; p < ds; ++p) {
       float* dst = ph.data() + static_cast<size_t>(p) * (BLK + blur);
       for (int64_t u = 0; u < u_lo; ++u) dst[u] = 0.f;
@@ -177,9 +221,13 @@ void conv_same(const float* x, int64_t n, const std::vector<float>& taps,
 // When band_energy != nullptr it receives the per-output residual energy
 // sum_p (x[ds*j+p] - out[j])^2 (resized to match out), fused into the
 // blocked pass when the small-W path applies.
+// xi: optional int16 source (x ignored; samples f16-grid-converted on the
+// fly inside the blocked small-W path, or materialized once for the rare
+// short-input dot path).
 void downsample_blur(const float* x, int64_t n, int ds, int blur,
                      std::vector<float>& out,
-                     std::vector<float>* band_energy = nullptr) {
+                     std::vector<float>* band_energy = nullptr,
+                     const int16_t* xi = nullptr) {
   int64_t m = n - (n % ds);
   int64_t no = m / ds;
   int W = ds * blur;
@@ -195,13 +243,19 @@ void downsample_blur(const float* x, int64_t n, int ds, int blur,
 
   if (band_energy) band_energy->resize(static_cast<size_t>(no));
   if (W <= 64 && no >= 1024) {
-    small_w_blur(x, ds, blur, no, w, out.data(),
+    small_w_blur(x, xi, ds, blur, no, w, out.data(),
                  band_energy ? band_energy->data() : nullptr);
     return;
   }
-  if (band_energy) {
-    // rare path (short inputs): compute the residual energy separately
-    // after the dot-product loop below fills `out`
+  std::vector<float> materialized;
+  if (xi) {
+    // rare path (short inputs): materialize the f16-grid samples once
+    materialized.resize(static_cast<size_t>(m));
+    const float* lut = f16_lut();
+    for (int64_t i = 0; i < m; ++i)
+      materialized[static_cast<size_t>(i)] =
+          lut[static_cast<uint16_t>(xi[i])];
+    x = materialized.data();
   }
 
   for (int64_t j = 0; j < no; ++j) {
@@ -290,14 +344,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
 
   // --- f16-grid PCM (per channel) and channel mean ------------------------
   // int16 -> f16 via a 64K lookup table (exact round-to-nearest-even)
-  static float lut[65536];
-  static bool lut_init = false;
-  if (!lut_init) {
-    for (int v = -32768; v < 32768; ++v)
-      lut[static_cast<uint16_t>(static_cast<int16_t>(v))] =
-          f16_grid(static_cast<float>(v));
-    lut_init = true;
-  }
+  const float* lut = f16_lut();
 
   // --- fused front pass: f16-grid channel mix + block energy ---------------
   // one pass over the PCM produces the band-cascade input (per-sample
@@ -307,7 +354,16 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   int64_t n_arr = samples - samples % 210;
   FeatScratch& S = feat_scratch();
   std::vector<float>& arr = S.arr;
-  arr.resize(static_cast<size_t>(n_arr));
+  // mono + AVX-512: the band cascade converts PCM block-locally and the
+  // energy sums convert in registers, so the 285 MB-at-media-scale
+  // full-rate f32 intermediate never exists (its write + two re-reads
+  // were the extractor's largest memory cost)
+#ifdef DA_AVX512
+  const bool no_arr = (channels == 1);
+#else
+  const bool no_arr = false;
+#endif
+  if (!no_arr) arr.resize(static_cast<size_t>(n_arr));
   int64_t ne = samples / 105;
   std::vector<float>& energy = S.energy;
   energy.resize(static_cast<size_t>(ne));
@@ -316,37 +372,25 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     if (channels == 1) {
       const int16_t* p = pcm;
 #ifdef DA_AVX512
-      // int16 -> f32 -> f16 -> f32 entirely in vector registers: the
-      // convert pair IS round-to-nearest-even onto the f16 grid, so it
-      // replaces the 64K-LUT gather (the scalar path's bottleneck).
-      int64_t i = 0;
-      for (; i + 16 <= n_arr; i += 16) {
-        __m256i v16 = _mm256_loadu_si256(
-            reinterpret_cast<const __m256i*>(p + i));
-        __m512 f = _mm512_cvtepi32_ps(_mm512_cvtepi16_epi32(v16));
-        __m256i h = _mm512_cvtps_ph(f, _MM_FROUND_TO_NEAREST_INT);
-        _mm512_storeu_ps(arr.data() + i, _mm512_cvtph_ps(h));
-      }
-      for (; i < n_arr; ++i)
-        arr[static_cast<size_t>(i)] = lut[static_cast<uint16_t>(p[i])];
       int64_t b = 0;
-      for (; b * 105 + 105 <= n_arr; ++b) {
-        const float* q = arr.data() + b * 105;
+      for (; b * 105 + 105 <= samples; ++b) {
+        const int16_t* q = p + b * 105;
         __m512 acc = _mm512_setzero_ps();
         for (int k = 0; k + 16 <= 105; k += 16) {
-          __m512 v = _mm512_loadu_ps(q + k);
+          __m512 v = cvt_i16_f16grid(_mm256_loadu_si256(
+              reinterpret_cast<const __m256i*>(q + k)));
           acc = _mm512_fmadd_ps(v, v, acc);
         }
-        __m512 v = _mm512_maskz_loadu_ps((1u << (105 - 96)) - 1, q + 96);
+        __m512 v = cvt_i16_f16grid(
+            _mm256_maskz_loadu_epi16((1u << (105 - 96)) - 1, q + 96));
         acc = _mm512_fmadd_ps(v, v, acc);
         energy[static_cast<size_t>(b)] = _mm512_reduce_add_ps(acc) * inv;
       }
-      for (; b < ne; ++b) {  // tail block(s) past the 210-trimmed arr
+      for (; b < ne; ++b) {
         float s = 0.f;
         const int64_t i0 = b * 105;
         for (int k = 0; k < 105; ++k) {
           float v = lut[static_cast<uint16_t>(p[i0 + k])];
-          if (i0 + k < n_arr) arr[static_cast<size_t>(i0 + k)] = v;
           s += v * v;
         }
         energy[static_cast<size_t>(b)] = s * inv;
@@ -447,8 +491,9 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   {
     const int downsamples[3] = {5, 7, 6};
     int64_t decimation = 1;
-    const float* cur = arr.data();
-    int64_t cur_n = static_cast<int64_t>(arr.size());
+    const float* cur = no_arr ? nullptr : arr.data();
+    const int16_t* cur_i16 = no_arr ? pcm : nullptr;
+    int64_t cur_n = n_arr;
     for (int stage = 0; stage < 3; ++stage) {
       int ds = downsamples[stage];
       int64_t m = cur_n - cur_n % ds;
@@ -457,7 +502,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
       std::vector<float>& band_energy = S.band_energy;
       decimation *= ds;
       if (stage < 2) {
-        downsample_blur(cur, m, ds, 3, bottom, &band_energy);
+        downsample_blur(cur, m, ds, 3, bottom, &band_energy, cur_i16);
       } else {
         band_energy.resize(static_cast<size_t>(nb));
         for (int64_t j = 0; j < nb; ++j) {
@@ -479,6 +524,7 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
       std::snprintf(nm, sizeof nm, "band%d", stage);
       st.lap(nm);
       cur = bottom.data();
+      cur_i16 = nullptr;
       cur_n = static_cast<int64_t>(bottom.size());
     }
   }
