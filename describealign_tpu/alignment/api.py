@@ -185,7 +185,7 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
 
 
 def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
-                         host_workers=4, true_samples=None, mesh=None):
+                         host_workers=None, true_samples=None, mesh=None):
     """Batch fast path: list of (video_pcm_i16, audio_pcm_i16) pairs.
 
     The device programs are dispatched asynchronously with a bounded queue
@@ -208,6 +208,12 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
     fit_backend = _default_backend(fit_backend)
     host_path = _feature_path() == 'host'
     b = len(pairs)
+    if host_workers is None:
+        # cores + 1: enough threads to keep one on link waits while the
+        # others compute, WITHOUT oversubscribing the host CPU - on a
+        # single-core host, 4 workers thrash the GIL/caches and measure
+        # ~2x slower than 2
+        host_workers = min(4, (os.cpu_count() or 1) + 1)
     if true_samples is None:
         true_samples = [(v.shape[1], a.shape[1]) for (v, a) in pairs]
     if mesh is not None:
@@ -296,7 +302,7 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
             in_flight.release()
 
     futs = []
-    with ThreadPoolExecutor(max_workers=max(2, host_workers)) as pool:
+    with ThreadPoolExecutor(max_workers=host_workers) as pool:
         for i in range(b):
             v, a = pairs[i]
             sv, sa = true_samples[i]
