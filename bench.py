@@ -75,10 +75,10 @@ def main():
         x, y, sim, path, m = run_once(video, audio, sv, sa)
     start_offset = float(x[0] - y[0])
 
-    # timed warm runs (min of 3: the tunneled link's throughput varies run
+    # timed warm runs (min of 5: the tunneled link's throughput varies run
     # to run by +/-60%, so the minimum is the stable estimate)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t = time.time()
         with redirect_stdout(quiet):
             run_once(video, audio, sv, sa)

@@ -38,7 +38,7 @@ def _stack_padded(features, nmin, npad):
     out = np.zeros((5, npad), np.float32)
     for j, f in enumerate(features):
         out[j, :nmin] = np.asarray(f[:nmin], np.float32)
-    return jnp.asarray(out)
+    return out
 
 
 def _fail_if_short(path_len, num_video, num_audio):
@@ -70,14 +70,15 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
 
     print("  memorizing video...        \r", end='')
     npad = max(_bucket_pad(na), _bucket_pad(nv))   # one shape per bucket
-    feats_a = _stack_padded(audio_desc_features, na, npad)
-    feats_v = _stack_padded(video_features, nv, npad)
+    feats_a_np = _stack_padded(audio_desc_features, na, npad)
+    feats_v_np = _stack_padded(video_features, nv, npad)
 
     print("  matching audio...  \r", end='')
-    quals, offs, starts = matching.match_from_features(feats_a, na,
-                                                       feats_v, nv)
-    feats_a_np = np.asarray(feats_a)
-    feats_v_np = np.asarray(feats_v)
+    # f16 upload (half the H2D bytes); host stages keep the f32 stacks
+    dev_a = jax.device_put(feats_a_np.astype(np.float16))
+    dev_v = jax.device_put(feats_v_np.astype(np.float16))
+    quals, offs, starts = matching.match_from_features(dev_a, na,
+                                                       dev_v, nv)
     return _host_stages(np.asarray(quals), np.asarray(offs),
                         np.asarray(starts), feats_a_np, feats_v_np, na, nv,
                         fit_backend)
@@ -154,9 +155,9 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
         sa = audio_samples or audio_pcm_i16.shape[1]
         npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
         feats_v_np, nv = host_features_padded(video_pcm_i16, sv, npad)
-        dev_v = jax.device_put(feats_v_np)       # async upload overlaps the
+        dev_v = jax.device_put(feats_v_np.astype(np.float16))  # async, f16
         feats_a_np, na = host_features_padded(audio_pcm_i16, sa, npad)
-        dev_a = jax.device_put(feats_a_np)       # audio extraction
+        dev_a = jax.device_put(feats_a_np.astype(np.float16))
         print("  matching audio...  \r", end='')
         if _use_streaming():
             y, x = _streamed_lis(dev_a, na, dev_v, nv)
@@ -229,9 +230,9 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
         if host_path:
             npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
             fv, nv = host_features_padded(v, sv, npad)
-            dev_v = jax.device_put(fv)
+            dev_v = jax.device_put(fv.astype(np.float16))
             fa, na = host_features_padded(a, sa, npad)
-            dev_a = jax.device_put(fa)
+            dev_a = jax.device_put(fa.astype(np.float16))
             out = matching.match_from_features(dev_a, na, dev_v, nv)
             return (i, out + (fa, fv))
         dev_a = jax.device_put(_pad_pcm_i16(a))
@@ -309,9 +310,9 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
             in_flight.acquire()
             npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
             fv, nv = host_features_padded(v, sv, npad)
-            dev_v = jax.device_put(fv)
+            dev_v = jax.device_put(fv.astype(np.float16))
             fa, na = host_features_padded(a, sa, npad)
-            dev_a = jax.device_put(fa)
+            dev_a = jax.device_put(fa.astype(np.float16))
             chunks, starts_dev, _ = matching.match_stream(dev_a, na,
                                                           dev_v, nv)
             futs.append((i, pool.submit(consume, chunks, starts_dev,
@@ -385,10 +386,19 @@ def warmup_compile(max_minutes):
                       for m in np.arange(1.0, max_minutes + 1.0)})
     for npad in buckets:
         print(f"  compiling bucket {npad}...      \r", end='')
-        fa = np.zeros((5, npad), np.float32)
-        fv = np.zeros((5, npad), np.float32)
-        fa[0, :210 * 30] = fv[0, :210 * 30] = 1.0
-        out = matching.match_from_features(fa, 210 * 30, fv, 210 * 30)
+        fa16 = np.zeros((5, npad), np.float16)
+        fv16 = np.zeros((5, npad), np.float16)
+        fa16[0, :210 * 30] = fv16[0, :210 * 30] = 1.0
+        # production signatures: f16 uploads + the streamed coarse/chunk
+        # programs, plus the single-shot program the feature-list align()
+        # and non-native fallbacks use
+        dev_a = jax.device_put(fa16)
+        dev_v = jax.device_put(fv16)
+        chunks, starts_dev, _ = matching.match_stream(dev_a, 210 * 30,
+                                                      dev_v, 210 * 30)
+        np.asarray(chunks[0])
+        np.asarray(starts_dev)
+        out = matching.match_from_features(dev_a, 210 * 30, dev_v, 210 * 30)
         np.asarray(out[0])
     print(f"warmed {len(buckets)} shape buckets.            ")
 

@@ -306,8 +306,11 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     """Host-feature fast path: stacked raw features in, compressed
     candidates out.
 
-    feats_*: (5, Npad) f32 feature stacks (extracted on the host - ~40x
-    smaller uploads than PCM); len_*: true frame counts. Returns
+    feats_*: (5, Npad) feature stacks (extracted on the host - ~40x
+    smaller uploads than PCM; callers ship f16, halving H2D bytes - the
+    cast back to f32 happens here, and the ~5e-4 relative rounding on the
+    log-compressed feature values is validated against the executed
+    reference by the parity campaign); len_*: true frame counts. Returns
     (quals (B, 210, K) f16, offs (B, 210, K) int16 band offsets,
     starts (B,) int32); video frame = starts[b] + off. The f16 qualities
     and int16 offsets cut the D2H transfer 2.7x; f16 keeps ~3 decimal
@@ -315,6 +318,8 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     tolerance (the LIS only consumes relative quality sums).
     """
     from .preprocess import preprocess_features
+    feats_a = feats_a.astype(jnp.float32)
+    feats_v = feats_v.astype(jnp.float32)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
     quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
@@ -343,6 +348,8 @@ def match_coarse(feats_a, len_a, feats_v, len_v):
     blocks emit zero quals).
     """
     from .preprocess import preprocess_features
+    feats_a = feats_a.astype(jnp.float32)
+    feats_v = feats_v.astype(jnp.float32)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
     a_mask, v_mask, starts_tracks, _ = _coarse_tracks(
