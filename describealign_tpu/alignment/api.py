@@ -291,11 +291,12 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
             with lis.LisStream(max_key) as ctx:
                 for c, ch in enumerate(chunks):
                     packed = np.asarray(ch)
-                    gk = packed.shape[2] // 2
-                    ctx.feed(packed[:, :, :gk].view(np.float16),
-                             packed[:, :, gk:],
-                             starts_grouped[c * cb:(c + 1) * cb],
-                             a_base=c * cb * 210)
+                    gk = packed.shape[2] * 2 // 3
+                    ctx.feed_u8(np.ascontiguousarray(
+                                    packed[:, :, :gk // 2]).view(np.uint8),
+                                packed[:, :, gk // 2:],
+                                starts_grouped[c * cb:(c + 1) * cb],
+                                a_base=c * cb * 210)
                 y, x = ctx.finish()
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
@@ -426,12 +427,13 @@ def _streamed_lis(dev_a, na, dev_v, nv):
         max_key = int(starts_grouped.max()) + 32768
         with lis.LisStream(max_key) as ctx:
             for c, f in enumerate(futs):
-                packed = f.result()                   # (C, 210, 2*GK) i16
-                gk = packed.shape[2] // 2
-                q = packed[:, :, :gk].view(np.float16)
-                o = packed[:, :, gk:]
-                ctx.feed(q, o, starts_grouped[c * cb:(c + 1) * cb],
-                         a_base=c * cb * 210)
+                packed = f.result()            # (C, 210, GK/2 + GK) i16
+                gk = packed.shape[2] * 2 // 3
+                q = np.ascontiguousarray(
+                    packed[:, :, :gk // 2]).view(np.uint8)
+                o = packed[:, :, gk // 2:]
+                ctx.feed_u8(q, o, starts_grouped[c * cb:(c + 1) * cb],
+                            a_base=c * cb * 210)
             return ctx.finish()
 
 

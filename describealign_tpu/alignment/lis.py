@@ -171,6 +171,28 @@ class LisStream:
         if rc != 0:
             raise RuntimeError("lis_stream_feed failed")
 
+    def feed_u8(self, qcodes, offs, starts, a_base):
+        """Feed a chunk whose qualities are u8 transport codes (the grid of
+        matching._qual_quantize_u8); decoded in C++ bit-identically to the
+        f16 values the single-shot path returns."""
+        import ctypes
+        qcodes = np.ascontiguousarray(qcodes, np.uint8)
+        offs = np.ascontiguousarray(offs, np.int16)
+        starts = np.ascontiguousarray(starts, np.int32)
+        if starts.ndim == 1:
+            starts = starts[:, None]
+        nb, blk, k = qcodes.shape
+        rc = self._lib.lis_stream_feed_u8(
+            ctypes.c_void_p(self._ctx),
+            qcodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(k), ctypes.c_longlong(starts.shape[1]),
+            ctypes.c_longlong(int(a_base)))
+        if rc != 0:
+            raise RuntimeError("lis_stream_feed_u8 failed")
+
     def finish(self):
         import ctypes
         cap = int(self._lib.lis_stream_count(ctypes.c_void_p(self._ctx))) + 1

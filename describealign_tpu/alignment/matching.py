@@ -324,7 +324,35 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     ms_v, norms_v = preprocess_features(feats_v)
     quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
                                          ms_v, norms_v, feats_v[0], len_v)
-    return quals.astype(jnp.float16), offs, starts
+    # same u8 transport grid as the streamed chunks, returned as the
+    # decoded f16 values: both paths feed the LIS bit-identical qualities
+    return _qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts
+
+
+# --- quality transport grid --------------------------------------------------
+# Qualities cross the link on a 6-bit-truncated f16 grid addressed by one
+# byte: code = ((f16_bits + 0x20) >> 6) - 0xA0, value bits = (code+0xA0)<<6.
+# Pure bit arithmetic, so the device quantizer, the C++ stream decoder, and
+# the f16 values the single-shot path returns agree bit-for-bit on every
+# backend (no transcendentals). The grid spans (0.033, 50] with <=1.6%
+# relative step - the quality formula's gate floor is 0.0464 and the LIS
+# consumes relative quality sums, so the step is far inside the decision
+# noise (validated by the reference parity campaign). Code 0 = empty slot.
+QUAL_CODE_BASE = 0xA0
+
+
+def _qual_quantize_u8(quals_f32):
+    bits = jax.lax.bitcast_convert_type(
+        quals_f32.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+    code = jnp.clip(((bits + 0x20) >> 6) - QUAL_CODE_BASE, 0, 255)
+    return code.astype(jnp.uint8)
+
+
+def _qual_dequantize_f16(code_u8):
+    code = code_u8.astype(jnp.int32)
+    bits = jnp.where(code > 0, (code + QUAL_CODE_BASE) << 6, 0)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                        jnp.float16)
 
 
 # --- streaming (chunked) matcher --------------------------------------------
@@ -374,11 +402,14 @@ def match_fine_chunk(ms_a, norms_a, a_mask, ms_v, norms_v, v_mask,
     quals, offs, _ = _fine_tracks(ms_a, norms_a, a_mask,
                                   ms_v, norms_v, v_mask,
                                   starts_chunk, b0, FINE_CHUNK, nb_valid)
-    # pack (f16 quals | i16 offs) into ONE buffer: each D2H pull pays a
-    # ~26 ms round trip on the tunneled link, so one pull per chunk, not two
-    packed = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(quals.astype(jnp.float16), jnp.int16),
-         offs], axis=2)
+    # pack (u8 qual codes | i16 offs) into ONE buffer: each D2H pull pays a
+    # ~26 ms round trip on the tunneled link (one pull per chunk, not two)
+    # and the u8 grid cuts the payload another 25%
+    gk = quals.shape[2]
+    codes = _qual_quantize_u8(quals)                  # (C, 210, GK) u8
+    codes16 = jax.lax.bitcast_convert_type(
+        codes.reshape(FINE_CHUNK, BLOCK, gk // 2, 2), jnp.int16)
+    packed = jnp.concatenate([codes16, offs], axis=2)
     return packed
 
 
