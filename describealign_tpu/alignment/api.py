@@ -356,8 +356,12 @@ def _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
             for j in range(len(idx), n_dev):
                 fa_g[j], fv_g[j] = fa_g[len(idx) - 1], fv_g[len(idx) - 1]
                 lens_a[j], lens_v[j] = lens_a[len(idx) - 1], lens_v[len(idx) - 1]
-            quals, offs, starts = sharded_match(mesh, fa_g, lens_a,
-                                                fv_g, lens_v)
+            # f16 uploads, like the single-pair paths (same matcher view)
+            quals, offs, starts = sharded_match(mesh,
+                                                fa_g.astype(np.float16),
+                                                lens_a,
+                                                fv_g.astype(np.float16),
+                                                lens_v)
             quals = np.asarray(quals)
             offs = np.asarray(offs)
             starts = np.asarray(starts)
