@@ -64,6 +64,51 @@ def test_lis_from_match_multigroup_matches_python(seed):
     np.testing.assert_array_equal(got_a, want_a)
 
 
+def test_qual_u8_grid_roundtrip_and_native_decode_agree():
+    """The u8 quality transport grid must (a) round-trip every code to the
+    documented f16 bit pattern, (b) decode identically in C++ (same LIS
+    paths whether fed decoded f16 values or raw codes), and (c) stay
+    within its 1.6% relative-step contract across the quality range."""
+    import jax.numpy as jnp
+    from describealign_tpu.alignment import matching
+
+    codes = np.arange(256, dtype=np.uint8)
+    vals = np.asarray(matching._qual_dequantize_f16(jnp.asarray(codes)))
+    bits = np.where(codes > 0,
+                    (codes.astype(np.uint32) + matching.QUAL_CODE_BASE) << 6,
+                    0).astype(np.uint16)
+    np.testing.assert_array_equal(vals.view(np.uint16), bits)
+    # quantize(dequantize(code)) is the identity on the grid
+    again = np.asarray(matching._qual_quantize_u8(
+        jnp.asarray(vals.astype(np.float32))))
+    np.testing.assert_array_equal(again, codes)
+    # relative step <= 2^-5 across the in-range gamut
+    qs = np.linspace(0.05, 50.0, 4001, dtype=np.float32)
+    rt = np.asarray(matching._qual_dequantize_f16(
+        matching._qual_quantize_u8(jnp.asarray(qs)))).astype(np.float32)
+    assert np.max(np.abs(rt - qs) / qs) <= 2.0 ** -5
+
+    # C++ feed_u8 == feed on the decoded values
+    rng = np.random.default_rng(3)
+    nb, blk, k = 6, 210, 12
+    quals = (rng.random((nb, blk, k)) * 50).astype(np.float32)
+    quals[rng.random((nb, blk, k)) < 0.5] = 0.0
+    offs = rng.integers(0, 768, (nb, blk, k), dtype=np.int16)
+    starts = np.repeat((np.arange(nb, dtype=np.int32) * 210)[:, None],
+                       3, axis=1)
+    codes3d = np.asarray(matching._qual_quantize_u8(jnp.asarray(quals)))
+    vals3d = np.asarray(matching._qual_dequantize_f16(jnp.asarray(codes3d)))
+    key_bound = int(starts.max()) + 32768
+    with lis.LisStream(key_bound) as s1:
+        s1.feed(vals3d, offs, starts, a_base=0)
+        v1, a1 = s1.finish()
+    with lis.LisStream(key_bound) as s2:
+        s2.feed_u8(codes3d, offs, starts, a_base=0)
+        v2, a2 = s2.finish()
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(a1, a2)
+
+
 def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
     """Cluster-shaped candidate points like pass 2 produces.
 
