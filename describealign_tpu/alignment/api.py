@@ -288,15 +288,14 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
                 [starts_tracks[0], starts_tracks[0]]
                 + list(starts_tracks[1:]), axis=1).astype(np.int32)
             max_key = int(starts_grouped.max()) + 32768
+            k1 = matching.TOP_K
+            k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
             with lis.LisStream(max_key) as ctx:
                 for c, ch in enumerate(chunks):
-                    packed = np.asarray(ch)
-                    gk = packed.shape[2] * 2 // 3
-                    ctx.feed_u8(np.ascontiguousarray(
-                                    packed[:, :, :gk // 2]).view(np.uint8),
-                                packed[:, :, gk // 2:],
-                                starts_grouped[c * cb:(c + 1) * cb],
-                                a_base=c * cb * 210)
+                    q1, o1, q2, o2 = _unpack_chunk(np.asarray(ch), k1, k2)
+                    ctx.feed_split(q1, o1, q2, o2,
+                                   starts_grouped[c * cb:(c + 1) * cb],
+                                   a_base=c * cb * 210)
                 y, x = ctx.finish()
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
@@ -408,6 +407,22 @@ def warmup_compile(max_minutes):
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 
+def _unpack_chunk(packed, k1, k2):
+    """Split a streamed chunk's flat int16 buffer back into band-1
+    (u8 codes, i16 offs) at full frame rate and rescue slots at even
+    frames (matching.match_fine_chunk's layout)."""
+    c = packed.shape[0]
+    blk = 210
+    n1 = blk * (k1 // 2 + k1)
+    band1 = packed[:, :n1].reshape(c, blk, k1 // 2 + k1)
+    rescue = packed[:, n1:].reshape(c, blk // 2, k2 // 2 + k2)
+    q1 = np.ascontiguousarray(band1[:, :, :k1 // 2]).view(np.uint8)
+    o1 = band1[:, :, k1 // 2:]
+    q2 = np.ascontiguousarray(rescue[:, :, :k2 // 2]).view(np.uint8)
+    o2 = rescue[:, :, k2 // 2:]
+    return q1, o1, q2, o2
+
+
 def _streamed_lis(dev_a, na, dev_v, nv):
     """Chunked matcher + streaming LIS: the fine pass is dispatched in
     FINE_CHUNK-block pieces; a single prefetch thread pulls chunk i+1 off
@@ -429,15 +444,15 @@ def _streamed_lis(dev_a, na, dev_v, nv):
             axis=1).astype(np.int32)                  # (B_pad, G)
         # the frontier spans the video length plus the int16 offset range
         max_key = int(starts_grouped.max()) + 32768
+        k1 = matching.TOP_K
+        k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
         with lis.LisStream(max_key) as ctx:
             for c, f in enumerate(futs):
-                packed = f.result()            # (C, 210, GK/2 + GK) i16
-                gk = packed.shape[2] * 2 // 3
-                q = np.ascontiguousarray(
-                    packed[:, :, :gk // 2]).view(np.uint8)
-                o = packed[:, :, gk // 2:]
-                ctx.feed_u8(q, o, starts_grouped[c * cb:(c + 1) * cb],
-                            a_base=c * cb * 210)
+                packed = f.result()            # (C, flat split layout) i16
+                q1, o1, q2, o2 = _unpack_chunk(packed, k1, k2)
+                ctx.feed_split(q1, o1, q2, o2,
+                               starts_grouped[c * cb:(c + 1) * cb],
+                               a_base=c * cb * 210)
             return ctx.finish()
 
 

@@ -193,6 +193,34 @@ class LisStream:
         if rc != 0:
             raise RuntimeError("lis_stream_feed_u8 failed")
 
+    def feed_split(self, q1, o1, q2, o2, starts, a_base):
+        """Feed a chunk in the split transport layout: band-1 u8 codes and
+        offsets at full frame rate (nb, blk, k1) plus rescue-band codes and
+        offsets for even frames only (nb, blk//2, k2)."""
+        import ctypes
+        q1 = np.ascontiguousarray(q1, np.uint8)
+        o1 = np.ascontiguousarray(o1, np.int16)
+        q2 = np.ascontiguousarray(q2, np.uint8)
+        o2 = np.ascontiguousarray(o2, np.int16)
+        starts = np.ascontiguousarray(starts, np.int32)
+        if starts.ndim == 1:
+            starts = starts[:, None]
+        nb, blk, k1 = q1.shape
+        k2 = q2.shape[2]
+        rc = self._lib.lis_stream_feed_split(
+            ctypes.c_void_p(self._ctx),
+            q1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            q2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(k1), ctypes.c_longlong(k2),
+            ctypes.c_longlong(starts.shape[1]),
+            ctypes.c_longlong(int(a_base)))
+        if rc != 0:
+            raise RuntimeError("lis_stream_feed_split failed")
+
     def finish(self):
         import ctypes
         cap = int(self._lib.lis_stream_count(ctypes.c_void_p(self._ctx))) + 1

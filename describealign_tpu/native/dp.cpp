@@ -379,6 +379,93 @@ int lis_stream_feed_u8(void* ctx, const uint8_t* qcodes,
   return 0;
 }
 
+// lis_stream_feed with the split transport layout: band-1 slots (k1,
+// groups 0..1) arrive for every frame; rescue slots (k2, groups 2..)
+// arrive only for EVEN frames (they are zero on odd frames by
+// construction - the rescue bands sample every 2nd frame), at rows
+// l/2 of the half-height q2/o2 arrays. Semantics identical to feeding
+// the full-rate arrays with odd-frame rescue slots zeroed.
+int lis_stream_feed_split(void* ctx, const uint8_t* q1, const int16_t* o1,
+                          const uint8_t* q2, const int16_t* o2,
+                          const int32_t* starts, int64_t nb, int64_t blk,
+                          int64_t k1, int64_t k2, int64_t n_groups,
+                          int64_t a_base) {
+  if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 2 != 0) return 1;
+  if (n_groups > 2 && k2 % (n_groups - 2) != 0) return 1;
+  static float table[256];
+  static const bool table_init = [] {
+    for (int c = 0; c < 256; ++c)
+      table[c] = qual_u8_decode(static_cast<uint8_t>(c));
+    return true;
+  }();
+  (void)table_init;
+  LisStream& st = *static_cast<LisStream*>(ctx);
+  std::vector<LisStream::Node>& nodes = st.nodes;
+  BitFrontier& best = st.best;
+  const int64_t cap = best.cap;
+  const int64_t k1_per_group = k1 / 2;
+  const int64_t k2_per_group =
+      (n_groups > 2) ? k2 / (n_groups - 2) : k2;
+
+  struct Cand { int64_t v; double q; };
+  Cand cands[64];
+
+  for (int64_t b = 0; b < nb; ++b) {
+    const int32_t* base = starts + b * n_groups;
+    for (int64_t l = 0; l < blk; ++l) {
+      int m = 0;
+      auto add = [&](int64_t v, double q) {
+        Cand c{v, q};
+        int p = m++;  // insertion sort by (v, q) ascending
+        while (p > 0 && (cands[p - 1].v > c.v ||
+                         (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
+          cands[p] = cands[p - 1];
+          --p;
+        }
+        cands[p] = c;
+      };
+      const uint8_t* q1row = q1 + (b * blk + l) * k1;
+      const int16_t* o1row = o1 + (b * blk + l) * k1;
+      for (int64_t j = 0; j < k1; ++j) {
+        if (q1row[j])
+          add(base[j / k1_per_group] + o1row[j],
+              static_cast<double>(table[q1row[j]]));
+      }
+      if ((l & 1) == 0 && k2 > 0) {
+        const uint8_t* q2row = q2 + (b * (blk / 2) + l / 2) * k2;
+        const int16_t* o2row = o2 + (b * (blk / 2) + l / 2) * k2;
+        for (int64_t j = 0; j < k2; ++j) {
+          if (q2row[j])
+            add(base[2 + j / k2_per_group] + o2row[j],
+                static_cast<double>(table[q2row[j]]));
+        }
+      }
+      const int64_t a = a_base + b * blk + l;
+      for (int t = 0; t < m; ++t) {
+        if (t > 0 && cands[t].v == cands[t - 1].v
+            && cands[t].q == cands[t - 1].q) {
+          continue;
+        }
+        const int64_t v = cands[t].v;
+        const int64_t key = v + 1;
+        if (key < 1 || key >= cap) return 1;
+        const int64_t pk = best.pred(key);
+        const double cum = best.cum[static_cast<size_t>(pk)] + cands[t].q;
+        const int64_t prev_node = best.node[static_cast<size_t>(pk)];
+        for (int64_t sk = best.succ(key); sk >= 0; ) {
+          if (best.cum[static_cast<size_t>(sk)] > cum) break;
+          const int64_t nxt = best.succ(sk);
+          best.clear(sk);
+          sk = nxt;
+        }
+        nodes.push_back({v, a, prev_node});
+        best.set(key, cum, static_cast<int64_t>(nodes.size()) - 1);
+      }
+    }
+  }
+  return 0;
+}
+
 // number of candidates inserted so far (an upper bound on the path length,
 // for sizing the finish() output buffers)
 int64_t lis_stream_count(void* ctx) {
