@@ -109,6 +109,41 @@ def test_qual_u8_grid_roundtrip_and_native_decode_agree():
     np.testing.assert_array_equal(a1, a2)
 
 
+def test_feed_split_equals_full_rate_feed():
+    """The split transport (band-1 full rate + rescue even-frames-only)
+    must reconstruct the exact candidate stream of the full-rate layout
+    with odd-frame rescue slots zeroed."""
+    rng = np.random.default_rng(8)
+    nb, blk, k1, k2 = 5, 210, 8, 4
+    q1 = (rng.random((nb, blk, k1)) * 50).astype(np.float32)
+    q1[rng.random((nb, blk, k1)) < 0.5] = 0.0
+    o1 = rng.integers(0, 768, (nb, blk, k1), dtype=np.int16)
+    q2 = (rng.random((nb, blk, k2)) * 50).astype(np.float32)
+    q2[rng.random((nb, blk, k2)) < 0.5] = 0.0
+    q2[:, 1::2, :] = 0.0                       # odd frames empty
+    o2 = rng.integers(0, 768, (nb, blk, k2), dtype=np.int16)
+    starts = np.repeat((np.arange(nb, dtype=np.int32) * 210)[:, None],
+                       3, axis=1)
+    starts[:, 2] += 30000                      # rescue band far away
+
+    import jax.numpy as jnp
+    from describealign_tpu.alignment import matching
+    c1 = np.asarray(matching._qual_quantize_u8(jnp.asarray(q1)))
+    c2 = np.asarray(matching._qual_quantize_u8(jnp.asarray(q2)))
+    full_codes = np.concatenate([c1, c2], axis=2)
+    full_offs = np.concatenate([o1, o2], axis=2)
+    key_bound = int(starts.max()) + 32768
+    with lis.LisStream(key_bound) as s1:
+        s1.feed_u8(full_codes, full_offs, starts, a_base=420)
+        v1, a1 = s1.finish()
+    with lis.LisStream(key_bound) as s2:
+        s2.feed_split(c1, o1, c2[:, ::2, :], o2[:, ::2, :], starts,
+                      a_base=420)
+        v2, a2 = s2.finish()
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(a1, a2)
+
+
 def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
     """Cluster-shaped candidate points like pass 2 produces.
 
