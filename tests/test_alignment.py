@@ -78,6 +78,43 @@ def test_streamed_lis_matches_single_shot():
     np.testing.assert_array_equal(got_x, want_x)
 
 
+def test_streamed_multichunk_matches_single_shot(monkeypatch):
+    """Chunk-BOUNDARY coverage: with a shrunk chunk size, ~107 s of media
+    streams as 4 chunks, exercising the per-chunk a_base offsets, on-device
+    starts slicing, and ordered feeds that full-scale media hits on TPU.
+    Uses its own shape bucket so the patched chunking never collides with
+    other tests' cached coarse traces."""
+    import jax
+    from describealign_tpu.alignment import lis, matching
+    from describealign_tpu.alignment.api import (_bucket_pad, _streamed_lis,
+                                                 host_features_padded)
+    if not lis.LisStream.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setattr(matching, 'FINE_CHUNK', 32)
+    video, audio, _ = build_pair(content_seconds=100.0,
+                                 narration=((40.0, 4.0),), lead_in=5.0,
+                                 seed=17)
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    video, audio = to_i16(video), to_i16(audio)
+    sv, sa = video.shape[1], audio.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(video, sv, npad)
+    fa, na = host_features_padded(audio, sa, npad)
+    dev_v = jax.device_put(fv.astype(np.float16))
+    dev_a = jax.device_put(fa.astype(np.float16))
+    _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
+    assert n_chunks >= 3, f"expected a multi-chunk stream, got {n_chunks}"
+    got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+    quals, offs, starts = matching.match_from_features(dev_a, na, dev_v, nv)
+    want_y, want_x = lis.lis_from_match(np.asarray(quals), np.asarray(offs),
+                                        np.asarray(starts))
+    np.testing.assert_array_equal(got_y, want_y)
+    np.testing.assert_array_equal(got_x, want_x)
+
+
 def test_align_mismatched_raises():
     """Unrelated content must fail alignment, like the reference does."""
     # reuse the dims of test_align_offset_only so compiled shapes are cached
