@@ -155,6 +155,76 @@ struct LisStream {
   }
 };
 
+struct Cand { int64_t v; double q; };
+
+// insert into a (v, q)-ascending insertion-sorted candidate array
+inline void cand_add(Cand* cands, int& m, int64_t v, double q) {
+  Cand c{v, q};
+  int p = m++;
+  while (p > 0 && (cands[p - 1].v > c.v ||
+                   (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
+    cands[p] = cands[p - 1];
+    --p;
+  }
+  cands[p] = c;
+}
+
+// Process one audio frame's sorted candidates against the frontier
+// (shared core of every feed variant): exact duplicates collapse to one,
+// each survivor extends the best chain ending at-or-before its video key
+// and erases dominated successors. Returns false if a key falls outside
+// the frontier capacity.
+inline bool lis_frame(LisStream& st, const Cand* cands, int m, int64_t a) {
+  BitFrontier& best = st.best;
+  const int64_t cap = best.cap;
+  for (int t = 0; t < m; ++t) {
+    if (t > 0 && cands[t].v == cands[t - 1].v
+        && cands[t].q == cands[t - 1].q) {
+      continue;
+    }
+    const int64_t v = cands[t].v;
+    const int64_t key = v + 1;
+    if (key < 1 || key >= cap) return false;
+    const int64_t pk = best.pred(key);
+    const double cum = best.cum[static_cast<size_t>(pk)] + cands[t].q;
+    const int64_t prev_node = best.node[static_cast<size_t>(pk)];
+    for (int64_t sk = best.succ(key); sk >= 0; ) {
+      if (best.cum[static_cast<size_t>(sk)] > cum) break;
+      const int64_t nxt = best.succ(sk);
+      best.clear(sk);
+      sk = nxt;
+    }
+    st.nodes.push_back({v, a, prev_node});
+    best.set(key, cum, static_cast<int64_t>(st.nodes.size()) - 1);
+  }
+  return true;
+}
+
+// u8-coded qualities: code 0 = empty; else the f16 bit pattern is
+// (code + 0xA0) << 6 (a 6-bit-truncated f16 grid covering the quality
+// range (0.033, 50]; pure bit math so device and host decode identically,
+// bit-for-bit). Matches matching.py's _qual_quantize/_qual_dequantize.
+inline const float* qual_u8_table() {
+  static float table[256];
+  static const bool init = [] {
+    for (int c = 0; c < 256; ++c) {
+      if (c == 0) {
+        table[c] = 0.f;
+        continue;
+      }
+      const uint32_t bits16 = (static_cast<uint32_t>(c) + 0xA0u) << 6;
+      // normal-range f16 -> f32 (the grid's exponents are all normal)
+      const uint32_t e = (bits16 >> 10) & 0x1Fu;
+      const uint32_t mant = bits16 & 0x3FFu;
+      const uint32_t b32 = ((e + 112u) << 23) | (mant << 13);
+      std::memcpy(&table[c], &b32, 4);
+    }
+    return true;
+  }();
+  (void)init;
+  return table;
+}
+
 }  // namespace
 
 extern "C" {
@@ -242,14 +312,8 @@ int lis_stream_feed(void* ctx, const float* quals, const int16_t* voffs,
                     int64_t k, int64_t n_groups, int64_t a_base) {
   if (!ctx || k > 64 || n_groups < 1 || k % n_groups != 0) return 1;
   LisStream& st = *static_cast<LisStream*>(ctx);
-  std::vector<LisStream::Node>& nodes = st.nodes;
-  BitFrontier& best = st.best;
-  const int64_t cap = best.cap;
   const int64_t k_per_group = k / n_groups;
-
-  struct Cand { int64_t v; double q; };
   Cand cands[64];
-
   for (int64_t b = 0; b < nb; ++b) {
     const int32_t* base = starts + b * n_groups;
     for (int64_t l = 0; l < blk; ++l) {
@@ -257,83 +321,26 @@ int lis_stream_feed(void* ctx, const float* quals, const int16_t* voffs,
       const int16_t* vrow = voffs + (b * blk + l) * k;
       int m = 0;
       for (int64_t j = 0; j < k; ++j) {
-        if (qrow[j] > 0.f) {
-          Cand c{base[j / k_per_group] + vrow[j],
-                 static_cast<double>(qrow[j])};
-          int p = m++;  // insertion sort by (v, q) ascending
-          while (p > 0 && (cands[p - 1].v > c.v ||
-                           (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
-            cands[p] = cands[p - 1];
-            --p;
-          }
-          cands[p] = c;
-        }
+        if (qrow[j] > 0.f)
+          cand_add(cands, m, base[j / k_per_group] + vrow[j],
+                   static_cast<double>(qrow[j]));
       }
-      const int64_t a = a_base + b * blk + l;
-      for (int t = 0; t < m; ++t) {
-        if (t > 0 && cands[t].v == cands[t - 1].v
-            && cands[t].q == cands[t - 1].q) {
-          continue;  // duplicate candidate from an overlapping band
-        }
-        const int64_t v = cands[t].v;
-        const int64_t key = v + 1;
-        if (key < 1 || key >= cap) return 1;
-        const int64_t pk = best.pred(key);
-        const double cum = best.cum[static_cast<size_t>(pk)] + cands[t].q;
-        const int64_t prev_node = best.node[static_cast<size_t>(pk)];
-        // erase dominated successors (strictly after key, like upper_bound)
-        for (int64_t sk = best.succ(key); sk >= 0; ) {
-          if (best.cum[static_cast<size_t>(sk)] > cum) break;
-          const int64_t nxt = best.succ(sk);
-          best.clear(sk);
-          sk = nxt;
-        }
-        nodes.push_back({v, a, prev_node});
-        best.set(key, cum, static_cast<int64_t>(nodes.size()) - 1);
-      }
+      if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;
     }
   }
   return 0;
 }
 
-// u8-coded qualities: code 0 = empty; else the f16 bit pattern is
-// (code + 0xA0) << 6 (a 6-bit-truncated f16 grid covering the quality
-// range (0.033, 50]; pure bit math so device and host decode identically,
-// bit-for-bit). Matches matching.py's _qual_quantize/_qual_dequantize.
-static float qual_u8_decode(uint8_t code) {
-  if (code == 0) return 0.f;
-  const uint32_t bits16 = (static_cast<uint32_t>(code) + 0xA0u) << 6;
-  // normal-range f16 -> f32 (the grid's exponents are all normal)
-  const uint32_t e = (bits16 >> 10) & 0x1Fu;
-  const uint32_t m = bits16 & 0x3FFu;
-  const uint32_t b32 = ((e + 112u) << 23) | (m << 13);
-  float out;
-  std::memcpy(&out, &b32, 4);
-  return out;
-}
-
-// lis_stream_feed with u8-coded qualities (the streamed transport format)
+// lis_stream_feed with u8-coded qualities
 int lis_stream_feed_u8(void* ctx, const uint8_t* qcodes,
                        const int16_t* voffs, const int32_t* starts,
                        int64_t nb, int64_t blk, int64_t k, int64_t n_groups,
                        int64_t a_base) {
   if (!ctx || k > 64 || n_groups < 1 || k % n_groups != 0) return 1;
-  static float table[256];
-  static const bool table_init = [] {
-    for (int c = 0; c < 256; ++c)
-      table[c] = qual_u8_decode(static_cast<uint8_t>(c));
-    return true;
-  }();
-  (void)table_init;
+  const float* table = qual_u8_table();
   LisStream& st = *static_cast<LisStream*>(ctx);
-  std::vector<LisStream::Node>& nodes = st.nodes;
-  BitFrontier& best = st.best;
-  const int64_t cap = best.cap;
   const int64_t k_per_group = k / n_groups;
-
-  struct Cand { int64_t v; double q; };
   Cand cands[64];
-
   for (int64_t b = 0; b < nb; ++b) {
     const int32_t* base = starts + b * n_groups;
     for (int64_t l = 0; l < blk; ++l) {
@@ -341,39 +348,11 @@ int lis_stream_feed_u8(void* ctx, const uint8_t* qcodes,
       const int16_t* vrow = voffs + (b * blk + l) * k;
       int m = 0;
       for (int64_t j = 0; j < k; ++j) {
-        if (qrow[j]) {
-          Cand c{base[j / k_per_group] + vrow[j],
-                 static_cast<double>(table[qrow[j]])};
-          int p = m++;  // insertion sort by (v, q) ascending
-          while (p > 0 && (cands[p - 1].v > c.v ||
-                           (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
-            cands[p] = cands[p - 1];
-            --p;
-          }
-          cands[p] = c;
-        }
+        if (qrow[j])
+          cand_add(cands, m, base[j / k_per_group] + vrow[j],
+                   static_cast<double>(table[qrow[j]]));
       }
-      const int64_t a = a_base + b * blk + l;
-      for (int t = 0; t < m; ++t) {
-        if (t > 0 && cands[t].v == cands[t - 1].v
-            && cands[t].q == cands[t - 1].q) {
-          continue;
-        }
-        const int64_t v = cands[t].v;
-        const int64_t key = v + 1;
-        if (key < 1 || key >= cap) return 1;
-        const int64_t pk = best.pred(key);
-        const double cum = best.cum[static_cast<size_t>(pk)] + cands[t].q;
-        const int64_t prev_node = best.node[static_cast<size_t>(pk)];
-        for (int64_t sk = best.succ(key); sk >= 0; ) {
-          if (best.cum[static_cast<size_t>(sk)] > cum) break;
-          const int64_t nxt = best.succ(sk);
-          best.clear(sk);
-          sk = nxt;
-        }
-        nodes.push_back({v, a, prev_node});
-        best.set(key, cum, static_cast<int64_t>(nodes.size()) - 1);
-      }
+      if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;
     }
   }
   return 0;
@@ -392,75 +371,33 @@ int lis_stream_feed_split(void* ctx, const uint8_t* q1, const int16_t* o1,
                           int64_t a_base) {
   if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 2 != 0) return 1;
   if (n_groups > 2 && k2 % (n_groups - 2) != 0) return 1;
-  static float table[256];
-  static const bool table_init = [] {
-    for (int c = 0; c < 256; ++c)
-      table[c] = qual_u8_decode(static_cast<uint8_t>(c));
-    return true;
-  }();
-  (void)table_init;
+  const float* table = qual_u8_table();
   LisStream& st = *static_cast<LisStream*>(ctx);
-  std::vector<LisStream::Node>& nodes = st.nodes;
-  BitFrontier& best = st.best;
-  const int64_t cap = best.cap;
   const int64_t k1_per_group = k1 / 2;
   const int64_t k2_per_group =
       (n_groups > 2) ? k2 / (n_groups - 2) : k2;
-
-  struct Cand { int64_t v; double q; };
   Cand cands[64];
-
   for (int64_t b = 0; b < nb; ++b) {
     const int32_t* base = starts + b * n_groups;
     for (int64_t l = 0; l < blk; ++l) {
       int m = 0;
-      auto add = [&](int64_t v, double q) {
-        Cand c{v, q};
-        int p = m++;  // insertion sort by (v, q) ascending
-        while (p > 0 && (cands[p - 1].v > c.v ||
-                         (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
-          cands[p] = cands[p - 1];
-          --p;
-        }
-        cands[p] = c;
-      };
       const uint8_t* q1row = q1 + (b * blk + l) * k1;
       const int16_t* o1row = o1 + (b * blk + l) * k1;
       for (int64_t j = 0; j < k1; ++j) {
         if (q1row[j])
-          add(base[j / k1_per_group] + o1row[j],
-              static_cast<double>(table[q1row[j]]));
+          cand_add(cands, m, base[j / k1_per_group] + o1row[j],
+                   static_cast<double>(table[q1row[j]]));
       }
       if ((l & 1) == 0 && k2 > 0) {
         const uint8_t* q2row = q2 + (b * (blk / 2) + l / 2) * k2;
         const int16_t* o2row = o2 + (b * (blk / 2) + l / 2) * k2;
         for (int64_t j = 0; j < k2; ++j) {
           if (q2row[j])
-            add(base[2 + j / k2_per_group] + o2row[j],
-                static_cast<double>(table[q2row[j]]));
+            cand_add(cands, m, base[2 + j / k2_per_group] + o2row[j],
+                     static_cast<double>(table[q2row[j]]));
         }
       }
-      const int64_t a = a_base + b * blk + l;
-      for (int t = 0; t < m; ++t) {
-        if (t > 0 && cands[t].v == cands[t - 1].v
-            && cands[t].q == cands[t - 1].q) {
-          continue;
-        }
-        const int64_t v = cands[t].v;
-        const int64_t key = v + 1;
-        if (key < 1 || key >= cap) return 1;
-        const int64_t pk = best.pred(key);
-        const double cum = best.cum[static_cast<size_t>(pk)] + cands[t].q;
-        const int64_t prev_node = best.node[static_cast<size_t>(pk)];
-        for (int64_t sk = best.succ(key); sk >= 0; ) {
-          if (best.cum[static_cast<size_t>(sk)] > cum) break;
-          const int64_t nxt = best.succ(sk);
-          best.clear(sk);
-          sk = nxt;
-        }
-        nodes.push_back({v, a, prev_node});
-        best.set(key, cum, static_cast<int64_t>(nodes.size()) - 1);
-      }
+      if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;
     }
   }
   return 0;
