@@ -222,7 +222,7 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
                                     host_workers)
     if host_path and _use_streaming():
         return _align_batch_streamed(pairs, true_samples, fit_backend,
-                                     host_workers)
+                                     host_workers, device_depth)
 
     def dispatch(i):
         v, a = pairs[i]
@@ -266,37 +266,25 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
         return [f.result() for f in futs]
 
 
-def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers):
+def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
+                          device_depth=2):
     """Batch via the streaming matcher: the main thread extracts features
     and dispatches pair i+1's device work while worker threads consume
     pair i's chunks (D2H pulls, the C++ LIS, and the refinement tail all
     release the GIL, so a single-core host still overlaps its CPU work
-    with the link and the device). In-flight pairs are bounded to cap HBM
-    and host memory."""
+    with the link and the device). In-flight pairs are bounded by
+    device_depth (+1 being consumed) to cap HBM and host memory."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    cb = matching.FINE_CHUNK
     b = len(pairs)
     results = [None] * b
-    in_flight = threading.Semaphore(3)
+    in_flight = threading.Semaphore(max(2, device_depth + 1))
 
     def consume(chunks, starts_dev, fa, fv, na, nv):
         try:
-            starts_tracks = np.asarray(starts_dev)
-            starts_grouped = np.stack(
-                [starts_tracks[0], starts_tracks[0]]
-                + list(starts_tracks[1:]), axis=1).astype(np.int32)
-            max_key = int(starts_grouped.max()) + 32768
-            k1 = matching.TOP_K
-            k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
-            with lis.LisStream(max_key) as ctx:
-                for c, ch in enumerate(chunks):
-                    q1, o1, q2, o2 = _unpack_chunk(np.asarray(ch), k1, k2)
-                    ctx.feed_split(q1, o1, q2, o2,
-                                   starts_grouped[c * cb:(c + 1) * cb],
-                                   a_base=c * cb * 210)
-                y, x = ctx.finish()
+            y, x = _consume_stream((np.asarray(ch) for ch in chunks),
+                                   np.asarray(starts_dev))
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
         finally:
@@ -423,6 +411,28 @@ def _unpack_chunk(packed, k1, k2):
     return q1, o1, q2, o2
 
 
+def _consume_stream(packed_iter, starts_tracks):
+    """Feed streamed chunk buffers (numpy, in audio order) into a fresh
+    C++ LIS and return the (video_path, audio_path) chain. Shared by the
+    single-pair and batch streaming paths."""
+    cb = matching.FINE_CHUNK
+    # grouped starts for the LIS: band 1 twice (half-spans) + rescues
+    starts_grouped = np.stack(
+        [starts_tracks[0], starts_tracks[0]] + list(starts_tracks[1:]),
+        axis=1).astype(np.int32)                      # (B_pad, G)
+    # the frontier spans the video length plus the int16 offset range
+    max_key = int(starts_grouped.max()) + 32768
+    k1 = matching.TOP_K
+    k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
+    with lis.LisStream(max_key) as ctx:
+        for c, packed in enumerate(packed_iter):
+            q1, o1, q2, o2 = _unpack_chunk(packed, k1, k2)
+            ctx.feed_split(q1, o1, q2, o2,
+                           starts_grouped[c * cb:(c + 1) * cb],
+                           a_base=c * cb * 210)
+        return ctx.finish()
+
+
 def _streamed_lis(dev_a, na, dev_v, nv):
     """Chunked matcher + streaming LIS: the fine pass is dispatched in
     FINE_CHUNK-block pieces; a single prefetch thread pulls chunk i+1 off
@@ -431,34 +441,21 @@ def _streamed_lis(dev_a, na, dev_v, nv):
     (video_path, audio_path), identical to the single-shot pipeline."""
     from concurrent.futures import ThreadPoolExecutor
 
-    cb = matching.FINE_CHUNK
-    chunks, starts_tracks_dev, n_chunks = matching.match_stream(
+    chunks, starts_tracks_dev, _ = matching.match_stream(
         dev_a, na, dev_v, nv)
     with ThreadPoolExecutor(1) as pool:
         futs = [pool.submit(lambda ch=ch: np.asarray(ch)) for ch in chunks]
         # pull the (tiny) coarse starts while the first chunks compute
         starts_tracks = np.asarray(starts_tracks_dev)
-        # grouped starts for the LIS: band 1 twice (half-spans) + rescues
-        starts_grouped = np.stack(
-            [starts_tracks[0], starts_tracks[0]] + list(starts_tracks[1:]),
-            axis=1).astype(np.int32)                  # (B_pad, G)
-        # the frontier spans the video length plus the int16 offset range
-        max_key = int(starts_grouped.max()) + 32768
-        k1 = matching.TOP_K
-        k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
-        with lis.LisStream(max_key) as ctx:
-            for c, f in enumerate(futs):
-                packed = f.result()            # (C, flat split layout) i16
-                q1, o1, q2, o2 = _unpack_chunk(packed, k1, k2)
-                ctx.feed_split(q1, o1, q2, o2,
-                               starts_grouped[c * cb:(c + 1) * cb],
-                               a_base=c * cb * 210)
-            return ctx.finish()
+        return _consume_stream((f.result() for f in futs), starts_tracks)
 
 
 def _use_streaming():
     import os
+    # DESCRIBEALIGN_PALLAS opts into the fused fine kernel, which only
+    # runs on the single-shot (full-pass) path - honor it over streaming
     return (os.environ.get('DESCRIBEALIGN_STREAM', '1') != '0'
+            and not matching._use_pallas()
             and lis.LisStream.available())
 
 

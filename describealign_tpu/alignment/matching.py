@@ -407,8 +407,6 @@ def match_fine_chunk(ms_a, norms_a, a_mask, ms_v, norms_v, v_mask,
     # rate, rescue slots for EVEN frames only (odd frames are zero by
     # construction - the rescue bands sample every 2nd frame). u8 + split
     # together cut the candidate payload 44% vs f16 full-rate.
-    gk = quals.shape[2]
-
     def pack(q, o):
         c, blk, k = q.shape
         codes16 = jax.lax.bitcast_convert_type(

@@ -297,8 +297,14 @@ int weighted_lis(const int64_t* video_idx, const int64_t* audio_idx,
 // Frontier keys are video frames shifted by +1 (sentinel v=-1 -> key 0);
 // cap must exceed the largest possible video frame + 1.
 void* lis_stream_new(int64_t cap) {
-  if (cap < 2 || cap > (int64_t{1} << 31)) return nullptr;
-  return new LisStream(cap);
+  // 2^28 keys = 355 hours of video at 210 fps; the frontier arrays are
+  // 16 bytes/key, so this also bounds the allocation at ~4.3 GB
+  if (cap < 2 || cap > (int64_t{1} << 28)) return nullptr;
+  try {
+    return new LisStream(cap);
+  } catch (...) {
+    return nullptr;  // bad_alloc must not cross the C ABI
+  }
 }
 
 void lis_stream_free(void* ctx) {
@@ -370,7 +376,8 @@ int lis_stream_feed_split(void* ctx, const uint8_t* q1, const int16_t* o1,
                           int64_t k1, int64_t k2, int64_t n_groups,
                           int64_t a_base) {
   if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 2 != 0) return 1;
-  if (n_groups > 2 && k2 % (n_groups - 2) != 0) return 1;
+  if (blk % 2 != 0) return 1;               // q2/o2 rows are blk/2-high
+  if (n_groups == 2 ? k2 != 0 : k2 % (n_groups - 2) != 0) return 1;
   const float* table = qual_u8_table();
   LisStream& st = *static_cast<LisStream*>(ctx);
   const int64_t k1_per_group = k1 / 2;
