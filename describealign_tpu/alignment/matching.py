@@ -426,6 +426,12 @@ def match_stream(dev_a, len_a, dev_v, len_v):
     state = match_coarse(dev_a, len_a, dev_v, len_v)
     starts_tracks = state[6]                          # (T, B_pad) on device
     b_pad = starts_tracks.shape[1]
+    if b_pad % FINE_CHUNK != 0:
+        # a cached coarse trace from a different FINE_CHUNK (tests patch
+        # it) would silently drop blocks; fail loudly instead
+        raise RuntimeError(
+            f"coarse padding {b_pad} is not a multiple of "
+            f"FINE_CHUNK={FINE_CHUNK} (stale jit trace?)")
     n_chunks = b_pad // FINE_CHUNK
     nb = nb_for(dev_a.shape[1])
     chunks = []

@@ -48,6 +48,28 @@ def test_align_with_insertions():
     assert abs(median_slope - 1.0) < 0.01
 
 
+def test_align_without_native_library(monkeypatch):
+    """The whole pipeline must run on pure-Python fallbacks when no C++
+    compiler/library is available (numpy features, SortedList LIS, python
+    pass-2 DP, python fused-lasso): same pair as test_align_offset_only so
+    the compiled device shapes are cache-hot."""
+    from describealign_tpu.alignment import native
+    monkeypatch.setattr(native, '_LIB', None)
+    monkeypatch.setattr(native, '_TRIED', True)
+    from describealign_tpu.alignment.api import align_from_pcm
+
+    video, audio, segments = build_pair(content_seconds=40.0, narration=(),
+                                        lead_in=6.0, seed=3)
+
+    def to_i16(p):
+        return np.clip(p, -32768, 32767).astype(np.int16)
+
+    x, y, similarity, path, median_slope = align_from_pcm(to_i16(video),
+                                                          to_i16(audio))
+    check_mapping(x, y, segments)
+    assert similarity > 60
+
+
 def test_streamed_lis_matches_single_shot():
     """The chunked matcher + streaming LIS must yield the exact path the
     single-shot match_from_features + lis_from_match pipeline yields."""
@@ -91,28 +113,36 @@ def test_streamed_multichunk_matches_single_shot(monkeypatch):
     if not lis.LisStream.available():
         pytest.skip("native library unavailable")
     monkeypatch.setattr(matching, 'FINE_CHUNK', 32)
-    video, audio, _ = build_pair(content_seconds=100.0,
-                                 narration=((40.0, 4.0),), lead_in=5.0,
-                                 seed=17)
+    try:
+        video, audio, _ = build_pair(content_seconds=100.0,
+                                     narration=((40.0, 4.0),), lead_in=5.0,
+                                     seed=17)
 
-    def to_i16(x):
-        return np.clip(x, -32768, 32767).astype(np.int16)
+        def to_i16(x):
+            return np.clip(x, -32768, 32767).astype(np.int16)
 
-    video, audio = to_i16(video), to_i16(audio)
-    sv, sa = video.shape[1], audio.shape[1]
-    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
-    fv, nv = host_features_padded(video, sv, npad)
-    fa, na = host_features_padded(audio, sa, npad)
-    dev_v = jax.device_put(fv.astype(np.float16))
-    dev_a = jax.device_put(fa.astype(np.float16))
-    _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
-    assert n_chunks >= 3, f"expected a multi-chunk stream, got {n_chunks}"
-    got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
-    quals, offs, starts = matching.match_from_features(dev_a, na, dev_v, nv)
-    want_y, want_x = lis.lis_from_match(np.asarray(quals), np.asarray(offs),
-                                        np.asarray(starts))
-    np.testing.assert_array_equal(got_y, want_y)
-    np.testing.assert_array_equal(got_x, want_x)
+        video, audio = to_i16(video), to_i16(audio)
+        sv, sa = video.shape[1], audio.shape[1]
+        npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+        fv, nv = host_features_padded(video, sv, npad)
+        fa, na = host_features_padded(audio, sa, npad)
+        dev_v = jax.device_put(fv.astype(np.float16))
+        dev_a = jax.device_put(fa.astype(np.float16))
+        _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
+        assert n_chunks >= 3, f"expected multi-chunk stream, got {n_chunks}"
+        got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+        quals, offs, starts = matching.match_from_features(dev_a, na,
+                                                           dev_v, nv)
+        want_y, want_x = lis.lis_from_match(
+            np.asarray(quals), np.asarray(offs), np.asarray(starts))
+        np.testing.assert_array_equal(got_y, want_y)
+        np.testing.assert_array_equal(got_x, want_x)
+    finally:
+        # the patched chunk size is baked into the jitted coarse/chunk
+        # traces; drop them so later tests that land on this shape bucket
+        # (e.g. bucket-boundary media) retrace with the real constant
+        matching.match_coarse.clear_cache()
+        matching.match_fine_chunk.clear_cache()
 
 
 def test_align_mismatched_raises():
