@@ -268,6 +268,8 @@ def refine_dp_py(points, num_clusters, num_video):
                 prev_cluster = cluster_index
             for pj in range(max(0, int(j) - 2), int(j) + 1):
                 node = prev_cache[pj].tolist()
+                if node[4] == -np.inf:
+                    continue        # never set (the C++ twin's `set` flag)
                 if cluster_index != node[2]:
                     node[4] -= 100 + 100 * ((j - node[0]) - (i - node[1])) ** 2
                 if node[1] >= (i - 2) and node[0] <= j and node[4] >= best_cum:
