@@ -48,6 +48,25 @@ def test_align_with_insertions():
     assert abs(median_slope - 1.0) < 0.01
 
 
+def test_align_from_pcm_device_features(monkeypatch):
+    """DESCRIBEALIGN_FEATURES=device: the fused PCM->features->match
+    program (the fast-link configuration) must produce a valid alignment
+    end to end."""
+    monkeypatch.setenv('DESCRIBEALIGN_FEATURES', 'device')
+    from describealign_tpu.alignment.api import align_from_pcm
+
+    video, audio, segments = build_pair(content_seconds=40.0, narration=(),
+                                        lead_in=6.0, seed=3)
+
+    def to_i16(p):
+        return np.clip(p, -32768, 32767).astype(np.int16)
+
+    x, y, similarity, path, median_slope = align_from_pcm(to_i16(video),
+                                                          to_i16(audio))
+    check_mapping(x, y, segments)
+    assert similarity > 60
+
+
 def test_align_without_native_library(monkeypatch):
     """The whole pipeline must run on pure-Python fallbacks when no C++
     compiler/library is available (numpy features, SortedList LIS, python
