@@ -477,7 +477,11 @@ def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
         np.asarray(x, np.float64), np.asarray(y, np.float64))
 
     # least-squares gain match of video features to the audio's scale
-    # (reference 733-741); the (N,1) lstsq reduces to a ratio of dots
+    # (reference 733-741); the (N,1) lstsq reduces to a ratio of dots.
+    # Scalar reductions stay f64; the scaled streams are stored f32 - the
+    # pass-2 scoring consumes them through log10 of |differences| ~1e-4..1,
+    # where f32's 1e-7 relative noise is far below the cluster DP's
+    # decision scale (reference-parity campaign re-validated at f32).
     audio_scaled_list, video_scaled_list = [], []
     yi = y.astype(np.int64)
     xi = x.astype(np.int64)
@@ -487,8 +491,8 @@ def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
         af_std = np.std(af)
         vy = vf[yi]
         scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
-        audio_scaled_list.append(af / af_std)
-        video_scaled_list.append(vf * (scale / af_std))
+        audio_scaled_list.append((af / af_std).astype(np.float32))
+        video_scaled_list.append((vf * (scale / af_std)).astype(np.float32))
     audio_scaled = np.stack(audio_scaled_list[:3], axis=1)
     video_scaled = np.stack(video_scaled_list[:3], axis=1)
 
