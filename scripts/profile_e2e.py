@@ -35,6 +35,9 @@ def load_pair():
 
 
 def main():
+    """Times the DEVICE-feature configuration (upload PCM, extract on
+    TPU) - the fast-link opt-in path. See profile_round2.py for the
+    default host-feature/streamed breakdown."""
     import jax
     from describealign_tpu.alignment import matching
     from describealign_tpu.alignment.api import _host_stages
@@ -49,7 +52,7 @@ def main():
     t = time.time()
     out = matching.extract_and_match(jax.device_put(audio), na,
                                      jax.device_put(video), nv)
-    q = np.asarray(out[0])
+    np.asarray(out[0])
     print(f"warmup (compile+run): {time.time()-t:.2f}s", flush=True)
 
     for it in range(3):
@@ -63,14 +66,16 @@ def main():
         np.asarray(out[0][0, 0, 0])
         t2 = time.time()
         quals = np.asarray(out[0])
-        vids = np.asarray(out[1])
+        offs = np.asarray(out[1])
+        starts = np.asarray(out[2])
         feats_a = np.asarray(out[3])
         feats_v = np.asarray(out[4])
         t3 = time.time()
         with redirect_stdout(quiet):
-            res = _host_stages(quals, vids, feats_a, feats_v, na, nv, 'native')
+            res = _host_stages(quals, offs, starts, feats_a, feats_v,
+                               na, nv, 'native')
         t4 = time.time()
-        d2h_mb = (quals.nbytes + vids.nbytes + feats_a.nbytes
+        d2h_mb = (quals.nbytes + offs.nbytes + feats_a.nbytes
                   + feats_v.nbytes) / 1e6
         print(f"iter{it}: upload {t1-t0:.2f}s | compute {t2-t1:.2f}s | "
               f"D2H {t3-t2:.2f}s ({d2h_mb:.0f}MB) | host {t4-t3:.2f}s | "
