@@ -296,15 +296,23 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
             v, a = pairs[i]
             sv, sa = true_samples[i]
             in_flight.acquire()
-            npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
-            fv, nv = host_features_padded(v, sv, npad)
-            dev_v = jax.device_put(fv.astype(np.float16))
-            fa, na = host_features_padded(a, sa, npad)
-            dev_a = jax.device_put(fa.astype(np.float16))
-            chunks, starts_dev, _ = matching.match_stream(dev_a, na,
-                                                          dev_v, nv)
-            futs.append((i, pool.submit(consume, chunks, starts_dev,
-                                        fa, fv, na, nv)))
+            try:
+                npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+                fv, nv = host_features_padded(v, sv, npad)
+                dev_v = jax.device_put(fv.astype(np.float16))
+                fa, na = host_features_padded(a, sa, npad)
+                dev_a = jax.device_put(fa.astype(np.float16))
+                chunks, starts_dev, _ = matching.match_stream(dev_a, na,
+                                                              dev_v, nv)
+                futs.append((i, pool.submit(consume, chunks, starts_dev,
+                                            fa, fv, na, nv)))
+            except BaseException:
+                # a failing dispatch must not leak its semaphore slot;
+                # in-flight consumes finish (and release theirs) during the
+                # pool's shutdown. Like the non-streamed path, the first
+                # error aborts the batch.
+                in_flight.release()
+                raise
         for i, f in futs:
             results[i] = f.result()
     return results
@@ -411,6 +419,14 @@ def _unpack_chunk(packed, k1, k2):
     return q1, o1, q2, o2
 
 
+def _qual_dequant_np(code_u8):
+    """Numpy twin of matching._qual_dequantize_f16 (bit-identical)."""
+    code = code_u8.astype(np.int32)
+    bits = np.where(code > 0,
+                    (code + matching.QUAL_CODE_BASE) << 6, 0)
+    return bits.astype(np.uint16).view(np.float16)
+
+
 def _consume_stream(packed_iter, starts_tracks):
     """Feed streamed chunk buffers (numpy, in audio order) into a fresh
     C++ LIS and return the (video_path, audio_path) chain. Shared by the
@@ -424,26 +440,58 @@ def _consume_stream(packed_iter, starts_tracks):
     max_key = int(starts_grouped.max()) + 32768
     k1 = matching.TOP_K
     k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
-    with lis.LisStream(max_key) as ctx:
-        for c, packed in enumerate(packed_iter):
+    ctx = None
+    if max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
+        try:
+            ctx = lis.LisStream(max_key)
+        except RuntimeError:
+            ctx = None
+    if ctx is None:
+        # the native frontier rejects key ranges over its cap (~355 h of
+        # video) or may fail to allocate: degrade to assembling the full
+        # candidate arrays and running the single-shot LIS (which has its
+        # own native -> Python fallback) instead of crashing.
+        quals_all, offs_all = [], []
+        for packed in packed_iter:
             q1, o1, q2, o2 = _unpack_chunk(packed, k1, k2)
-            ctx.feed_split(q1, o1, q2, o2,
-                           starts_grouped[c * cb:(c + 1) * cb],
-                           a_base=c * cb * 210)
+            c = q1.shape[0]
+            q = np.zeros((c, 210, k1 + k2), np.float32)
+            o = np.zeros((c, 210, k1 + k2), np.int16)
+            q[:, :, :k1] = _qual_dequant_np(q1)
+            o[:, :, :k1] = o1
+            q[:, ::2, k1:] = _qual_dequant_np(q2)
+            o[:, ::2, k1:] = o2
+            quals_all.append(q)
+            offs_all.append(o)
+        quals = np.concatenate(quals_all)
+        offs = np.concatenate(offs_all)
+        return lis.lis_from_match(quals, offs, starts_grouped[:len(quals)])
+    with ctx:
+        for c, packed in enumerate(packed_iter):
+            ctx.feed_packed(packed, starts_grouped[c * cb:(c + 1) * cb],
+                            a_base=c * cb * 210, blk=210, k1=k1, k2=k2)
         return ctx.finish()
+
+
+def _pull_threads():
+    # concurrent D2H pulls overlap the per-operation round trip (~26 ms on
+    # a tunneled link) across chunks; bandwidth is shared so 2 is the sweet
+    # spot (measured: >3 threads just queue on the link)
+    return int(os.environ.get('DESCRIBEALIGN_PULL_THREADS', '2'))
 
 
 def _streamed_lis(dev_a, na, dev_v, nv):
     """Chunked matcher + streaming LIS: the fine pass is dispatched in
-    FINE_CHUNK-block pieces; a single prefetch thread pulls chunk i+1 off
-    the device (the D2H releases the GIL, so the link transfer overlaps)
-    while the main thread feeds chunk i into the stateful C++ LIS. Returns
-    (video_path, audio_path), identical to the single-shot pipeline."""
+    FINE_CHUNK-block pieces; prefetch threads pull chunks off the device
+    (the D2H releases the GIL, so link transfers overlap each other and
+    the compute) while the main thread feeds finished chunks into the
+    stateful C++ LIS in audio order. Returns (video_path, audio_path),
+    identical to the single-shot pipeline."""
     from concurrent.futures import ThreadPoolExecutor
 
     chunks, starts_tracks_dev, _ = matching.match_stream(
         dev_a, na, dev_v, nv)
-    with ThreadPoolExecutor(1) as pool:
+    with ThreadPoolExecutor(_pull_threads()) as pool:
         futs = [pool.submit(lambda ch=ch: np.asarray(ch)) for ch in chunks]
         # pull the (tiny) coarse starts while the first chunks compute
         starts_tracks = np.asarray(starts_tracks_dev)

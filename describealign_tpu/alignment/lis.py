@@ -16,6 +16,11 @@ from sortedcontainers import SortedList
 
 from .native import native_lib
 
+# dp.cpp lis_stream_new rejects caps over 2^28 keys (~355 h of video at
+# 210 fps; bounds the frontier allocation at ~4.3 GB). Callers pre-check
+# their max key against this and fall back to the single-shot path.
+LIS_STREAM_KEY_CAP = 1 << 28
+
 
 def weighted_lis_py(audio_idx, video_idx, qual):
     """Pure-Python exact LIS. Inputs sorted by (audio, video, qual).
@@ -192,6 +197,28 @@ class LisStream:
             ctypes.c_longlong(int(a_base)))
         if rc != 0:
             raise RuntimeError("lis_stream_feed_u8 failed")
+
+    def feed_packed(self, packed, starts, a_base, blk, k1, k2):
+        """Feed a chunk straight from its packed int16 transport buffer
+        (matching.match_fine_chunk's layout: band-1 code words + offsets at
+        full frame rate, rescue rows for even frames) - zero host-side
+        copies; semantics identical to feed_split on the unpacked arrays."""
+        import ctypes
+        packed = np.ascontiguousarray(packed, np.int16)   # no-op for D2H pulls
+        starts = np.ascontiguousarray(starts, np.int32)
+        if starts.ndim == 1:
+            starts = starts[:, None]
+        nb = packed.shape[0]
+        rc = self._lib.lis_stream_feed_packed(
+            ctypes.c_void_p(self._ctx),
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(k1), ctypes.c_longlong(k2),
+            ctypes.c_longlong(starts.shape[1]),
+            ctypes.c_longlong(int(a_base)))
+        if rc != 0:
+            raise RuntimeError("lis_stream_feed_packed failed")
 
     def feed_split(self, q1, o1, q2, o2, starts, a_base):
         """Feed a chunk in the split transport layout: band-1 u8 codes and

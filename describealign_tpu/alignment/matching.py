@@ -126,6 +126,29 @@ def _coarse_descriptors(ms, norms, mask, phase=0):
 COARSE_CHUNK = 64  # blocks per lax.map step (MXU-sized matmuls, large DMAs)
 
 
+def _chunk_scores(desc_a_padded, desc_v_list, c):
+    """Score tile for COARSE_CHUNK blocks starting at block c*COARSE_CHUNK.
+
+    desc_a_padded: (nb_pad * COARSE_PER_BLOCK, 128) audio descriptors;
+    returns (COARSE_CHUNK, Kv) f32. Shared by the materialized and the
+    memory-bounded streamed coarse paths (identical arithmetic)."""
+    kv = desc_v_list[0].shape[0]
+    rows = jax.lax.dynamic_slice_in_dim(
+        desc_a_padded, c * COARSE_CHUNK * COARSE_PER_BLOCK,
+        COARSE_CHUNK * COARSE_PER_BLOCK, axis=0)
+    out = None
+    for desc_v in desc_v_list:   # sub-lane shifted copies, max-folded
+        s = jnp.dot(rows, desc_v.T,
+                    preferred_element_type=jnp.float32)  # (640, Kv)
+        s = s.reshape(COARSE_CHUNK, COARSE_PER_BLOCK, kv)
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, COARSE_PER_BLOCK)))
+        aligned = jnp.max(jnp.stack(
+            [s[:, p, p:p + kv] for p in range(COARSE_PER_BLOCK)],
+            axis=1), axis=1)                         # (CHUNK, Kv)
+        out = aligned if out is None else jnp.maximum(out, aligned)
+    return out
+
+
 def _block_scores_local(desc_a, desc_v_list):
     """Video-coordinate block score map P[b, v].
 
@@ -152,25 +175,36 @@ def _block_scores_local(desc_a, desc_v_list):
     nb_pad = -(-nb // COARSE_CHUNK) * COARSE_CHUNK
     desc_a = jnp.pad(desc_a,
                      ((0, nb_pad * COARSE_PER_BLOCK - ka), (0, 0)))
-
-    def chunk(c):
-        rows = jax.lax.dynamic_slice_in_dim(
-            desc_a, c * COARSE_CHUNK * COARSE_PER_BLOCK,
-            COARSE_CHUNK * COARSE_PER_BLOCK, axis=0)
-        out = None
-        for desc_v in desc_v_list:   # sub-lane shifted copies, max-folded
-            s = jnp.dot(rows, desc_v.T,
-                        preferred_element_type=jnp.float32)  # (640, Kv)
-            s = s.reshape(COARSE_CHUNK, COARSE_PER_BLOCK, kv)
-            s = jnp.pad(s, ((0, 0), (0, 0), (0, COARSE_PER_BLOCK)))
-            aligned = jnp.max(jnp.stack(
-                [s[:, p, p:p + kv] for p in range(COARSE_PER_BLOCK)],
-                axis=1), axis=1)                         # (CHUNK, Kv)
-            out = aligned if out is None else jnp.maximum(out, aligned)
-        return out
-
-    p_map = jax.lax.map(chunk, jnp.arange(nb_pad // COARSE_CHUNK))
+    p_map = jax.lax.map(lambda c: _chunk_scores(desc_a, desc_v_list, c),
+                        jnp.arange(nb_pad // COARSE_CHUNK))
     return p_map.reshape(nb_pad, kv)[:nb]
+
+
+def _dp_relax(prev, d):
+    """One max-plus relaxation: shift by the nominal 10-lane advance, |.|
+    distance transform (exact via two running cummax passes), capped by a
+    flat jump. Shared by the materialized and streamed coarse DPs."""
+    lanes = jnp.arange(d, dtype=jnp.float32)
+    adv = COARSE_PER_BLOCK
+    prev10 = jnp.concatenate(
+        [jnp.full((adv,), -1e30, jnp.float32), prev[:-adv]])
+    fwd = (jax.lax.cummax(prev10 + DP_SLOPE_COST * lanes)
+           - DP_SLOPE_COST * lanes)
+    bwd = (jnp.flip(jax.lax.cummax(jnp.flip(prev10 - DP_SLOPE_COST * lanes)))
+           + DP_SLOPE_COST * lanes)
+    return jnp.maximum(jnp.maximum(fwd, bwd),
+                       jnp.max(prev) - DP_JUMP_COST)
+
+
+def _dp_backstep(o_next, cost_prev, d):
+    """One backtrace step: the predecessor lane of `o_next` given the
+    previous block's cost row (move-vs-jump arbitration)."""
+    adv = COARSE_PER_BLOCK
+    moved = cost_prev - DP_SLOPE_COST * jnp.abs(
+        jnp.arange(d, dtype=jnp.float32) - (o_next - adv).astype(jnp.float32))
+    jumped = jnp.max(cost_prev) - DP_JUMP_COST
+    return jnp.where(jnp.max(moved) >= jumped,
+                     jnp.argmax(moved), jnp.argmax(cost_prev))
 
 
 def _coarse_dp(p_map):
@@ -182,22 +216,9 @@ def _coarse_dp(p_map):
     Returns the per-block video coarse index (B,) i32 via backtrace.
     """
     nb, d = p_map.shape
-    lanes = jnp.arange(d, dtype=jnp.float32)
-    adv = COARSE_PER_BLOCK
-
-    def relax(prev):
-        # shift by the nominal advance, then |.| distance transform
-        prev10 = jnp.concatenate(
-            [jnp.full((adv,), -1e30, jnp.float32), prev[:-adv]])
-        fwd = (jax.lax.cummax(prev10 + DP_SLOPE_COST * lanes)
-               - DP_SLOPE_COST * lanes)
-        bwd = (jnp.flip(jax.lax.cummax(jnp.flip(prev10 - DP_SLOPE_COST * lanes)))
-               + DP_SLOPE_COST * lanes)
-        return jnp.maximum(jnp.maximum(fwd, bwd),
-                           jnp.max(prev) - DP_JUMP_COST)
 
     def fwd_step(prev, p_row):
-        cur = relax(prev) + p_row
+        cur = _dp_relax(prev, d) + p_row
         return cur, cur
 
     init = jnp.zeros((d,), jnp.float32)
@@ -206,15 +227,102 @@ def _coarse_dp(p_map):
     o_last = jnp.argmax(cost[-1])
 
     def back_step(o_next, cost_prev):
-        moved = cost_prev - DP_SLOPE_COST * jnp.abs(
-            jnp.arange(d, dtype=jnp.float32) - (o_next - adv).astype(jnp.float32))
-        jumped = jnp.max(cost_prev) - DP_JUMP_COST
-        o_prev = jnp.where(jnp.max(moved) >= jumped,
-                           jnp.argmax(moved), jnp.argmax(cost_prev))
+        o_prev = _dp_backstep(o_next, cost_prev, d)
         return o_prev, o_prev
 
     _, path = jax.lax.scan(back_step, o_last, cost[:-1], reverse=True)
     return jnp.concatenate([path, o_last[None]]).astype(jnp.int32)
+
+
+# HBM guard for the coarse pass: above this many score-map elements
+# (blocks x video lanes), _coarse_tracks switches from the materialized
+# (B, D) score/cost tensors to the streamed DP below. 192M elements keeps
+# a 1-hour pair (143M) on the fast path while bounding the big tensors to
+# ~2.3 GB; a 3-hour pair (1.2G elements, ~14 GB materialized - an OOM on
+# a 16 GB v5e) streams in (C, D) checkpoints + (64, D) tiles instead,
+# matching the reference's ability to align arbitrarily long media in
+# bounded memory (describealign.py:610-633 builds only per-frame dicts).
+COARSE_STREAM_ELEMS = 192 * 1024 * 1024
+
+
+def _coarse_dp_streamed(desc_a, desc_v_list, nb, suppress_paths=()):
+    """Memory-bounded twin of _block_scores_local + _coarse_dp.
+
+    The score map is computed in COARSE_CHUNK-block tiles INSIDE the DP
+    scans (never materialized whole), the forward pass checkpoints one
+    cost row per chunk, and the backtrace recomputes each chunk's cost
+    rows from its checkpoint (classic checkpointed-scan rematerialization:
+    2x the score compute for O(B/64 * D) instead of O(B * D) memory).
+    Identical relaxation/backtrace arithmetic to the materialized pair -
+    tests assert path equality.
+
+    suppress_paths: earlier k-best tracks' (B,) lane paths; lanes within
+    SUPPRESS_LANES of them score -inf (the k-best rescue semantics).
+    """
+    ka = desc_a.shape[0]
+    kv = desc_v_list[0].shape[0]
+    d = kv
+    nb_pad = -(-nb // COARSE_CHUNK) * COARSE_CHUNK
+    n_chunks = nb_pad // COARSE_CHUNK
+    desc_a_p = jnp.pad(desc_a,
+                       ((0, nb_pad * COARSE_PER_BLOCK - ka), (0, 0)))
+    lanes = jnp.arange(d, dtype=jnp.int32)[None, :]
+    suppress_paths = [jnp.pad(p, (0, nb_pad - p.shape[0]), mode='edge')
+                      for p in suppress_paths]
+
+    def chunk_scores(c):
+        s = _chunk_scores(desc_a_p, desc_v_list, c)          # (64, Kv)
+        for vp in suppress_paths:
+            vpc = jax.lax.dynamic_slice_in_dim(vp, c * COARSE_CHUNK,
+                                               COARSE_CHUNK)
+            s = jnp.where(jnp.abs(lanes - vpc[:, None]) <= SUPPRESS_LANES,
+                          -1e30, s)
+        return s
+
+    def row_valid(c):
+        return (c * COARSE_CHUNK
+                + jnp.arange(COARSE_CHUNK, dtype=jnp.int32)) < nb
+
+    def fwd_row(prev, inp):
+        row, valid = inp
+        # rows past nb pass the cost through unchanged, so the final carry
+        # IS cost[nb-1] and argmax matches the materialized path exactly
+        cur = jnp.where(valid, _dp_relax(prev, d) + row, prev)
+        return cur, cur
+
+    def fwd_chunk(prev, c):
+        last, _ = jax.lax.scan(fwd_row, prev, (chunk_scores(c), row_valid(c)))
+        return last, prev                      # checkpoint: PRE-chunk row
+
+    init = jnp.zeros((d,), jnp.float32)
+    last_row, ckpts = jax.lax.scan(fwd_chunk, init,
+                                   jnp.arange(n_chunks))     # (C, D)
+
+    o_last = jnp.argmax(last_row).astype(jnp.int32)
+
+    def bwd_row(o_next, inp):
+        cost_b, step_valid = inp
+        # step at block b consumes cost[b] and emits path[b]; blocks
+        # >= nb-1 pass o_last through (the materialized backtrace starts
+        # at block nb-1 with o_last)
+        o_prev = _dp_backstep(o_next, cost_b, d).astype(jnp.int32)
+        o_b = jnp.where(step_valid, o_prev, o_next)
+        return o_b, o_b
+
+    def bwd_chunk(o_carry, inp):
+        c, ckpt = inp
+        _, rows = jax.lax.scan(fwd_row, ckpt,
+                               (chunk_scores(c), row_valid(c)))  # (64, D)
+        flags = (c * COARSE_CHUNK
+                 + jnp.arange(COARSE_CHUNK, dtype=jnp.int32)) < (nb - 1)
+        o_first, path_chunk = jax.lax.scan(bwd_row, o_carry, (rows, flags),
+                                           reverse=True)
+        return o_first, path_chunk
+
+    _, path_chunks = jax.lax.scan(bwd_chunk, o_last,
+                                  (jnp.arange(n_chunks), ckpts),
+                                  reverse=True)
+    return path_chunks.reshape(nb_pad)[:nb].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +453,12 @@ def _qual_quantize_u8(quals_f32):
     bits = jax.lax.bitcast_convert_type(
         quals_f32.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
     code = jnp.clip(((bits + 0x20) >> 6) - QUAL_CODE_BASE, 0, 255)
+    # guard: only positive finite qualities may produce a code - a negative
+    # or NaN f16 bit pattern is >= 0x8000 and would otherwise clip to 255
+    # (decoded as maximum quality). Unreachable today (_fine_block clamps
+    # qual to [0, 50] and zeroes invalid slots) but cheap insurance against
+    # future quality-formula changes.
+    code = jnp.where(quals_f32 > 0, code, 0)
     return code.astype(jnp.uint8)
 
 
@@ -488,15 +602,31 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
     desc_a = _coarse_descriptors(feats_a[:3], norms_a[:3], a_mask)
     desc_v_list = [_coarse_descriptors(feats_v[:3], norms_v[:3], v_mask,
                                        phase) for phase in SUB_LANE_SHIFTS]
-    p_map = _block_scores_local(desc_a, desc_v_list)
-    nb = p_map.shape[0]
-    lanes = jnp.arange(p_map.shape[1], dtype=jnp.int32)[None, :]
+    ka = desc_a.shape[0]
+    kv = desc_v_list[0].shape[0]
+    nb = ka // COARSE_PER_BLOCK
+
+    v_paths = []
+    if nb * kv > COARSE_STREAM_ELEMS:
+        # hour-plus media: the (B, D) score/cost tensors would not fit HBM;
+        # stream the DP with checkpointed rematerialization instead
+        for _ in range(N_TRACKS):
+            v_paths.append(_coarse_dp_streamed(desc_a, desc_v_list, nb,
+                                               v_paths))
+    else:
+        p_map = _block_scores_local(desc_a, desc_v_list)
+        lanes = jnp.arange(kv, dtype=jnp.int32)[None, :]
+        suppressed = p_map
+        for _ in range(N_TRACKS):
+            v_path = _coarse_dp(suppressed)           # (B,) video coarse idx
+            v_paths.append(v_path)
+            suppressed = jnp.where(
+                jnp.abs(lanes - v_path[:, None]) <= SUPPRESS_LANES,
+                -1e30, suppressed)
 
     starts_tracks = []
     centers0 = None
-    suppressed = p_map
-    for _ in range(N_TRACKS):
-        v_path = _coarse_dp(suppressed)               # (B,) video coarse idx
+    for v_path in v_paths:
         centers = (v_path * COARSE_STRIDE
                    - jnp.arange(nb, dtype=jnp.int32) * BLOCK)
         if centers0 is None:
@@ -504,9 +634,6 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
         starts_tracks.append(jnp.clip(
             jnp.arange(nb, dtype=jnp.int32) * BLOCK + centers
             - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1)))
-        suppressed = jnp.where(
-            jnp.abs(lanes - v_path[:, None]) <= SUPPRESS_LANES,
-            -1e30, suppressed)
     return a_mask, v_mask, jnp.stack(starts_tracks, axis=0), centers0
 
 

@@ -410,6 +410,61 @@ int lis_stream_feed_split(void* ctx, const uint8_t* q1, const int16_t* o1,
   return 0;
 }
 
+// lis_stream_feed straight off the device chunk's packed int16 transport
+// buffer (matching.match_fine_chunk's layout), so the host feeds chunks
+// with ZERO intermediate copies. Per block row: band-1 frames at full rate
+// (each frame: k1/2 int16 words holding k1 u8 quality codes, then k1 int16
+// offsets), then rescue rows for even frames only (k2/2 code words + k2
+// offsets each). Byte order of the code words matches the device's
+// u8->i16 bitcast as materialized on the (little-endian) host, i.e. the
+// same bytes numpy's .view(np.uint8) yields - semantics identical to
+// lis_stream_feed_split on the unpacked arrays.
+int lis_stream_feed_packed(void* ctx, const int16_t* packed,
+                           const int32_t* starts, int64_t nb, int64_t blk,
+                           int64_t k1, int64_t k2, int64_t n_groups,
+                           int64_t a_base) {
+  if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 2 != 0 || k2 % 2 != 0)
+    return 1;
+  if (blk % 2 != 0) return 1;
+  if (n_groups == 2 ? k2 != 0 : k2 % (n_groups - 2) != 0) return 1;
+  const float* table = qual_u8_table();
+  LisStream& st = *static_cast<LisStream*>(ctx);
+  const int64_t k1_per_group = k1 / 2;
+  const int64_t k2_per_group = (n_groups > 2) ? k2 / (n_groups - 2) : k2;
+  const int64_t row1 = k1 / 2 + k1;          // i16 words per band-1 frame
+  const int64_t row2 = k2 / 2 + k2;          // i16 words per rescue row
+  const int64_t n1 = blk * row1;             // band-1 words per block
+  const int64_t rowlen = n1 + (blk / 2) * row2;
+  Cand cands[64];
+  for (int64_t b = 0; b < nb; ++b) {
+    const int32_t* base = starts + b * n_groups;
+    const int16_t* prow = packed + b * rowlen;
+    for (int64_t l = 0; l < blk; ++l) {
+      int m = 0;
+      const int16_t* f1 = prow + l * row1;
+      const uint8_t* q1 = reinterpret_cast<const uint8_t*>(f1);
+      const int16_t* o1 = f1 + k1 / 2;
+      for (int64_t j = 0; j < k1; ++j) {
+        if (q1[j])
+          cand_add(cands, m, base[j / k1_per_group] + o1[j],
+                   static_cast<double>(table[q1[j]]));
+      }
+      if ((l & 1) == 0 && k2 > 0) {
+        const int16_t* f2 = prow + n1 + (l / 2) * row2;
+        const uint8_t* q2 = reinterpret_cast<const uint8_t*>(f2);
+        const int16_t* o2 = f2 + k2 / 2;
+        for (int64_t j = 0; j < k2; ++j) {
+          if (q2[j])
+            cand_add(cands, m, base[2 + j / k2_per_group] + o2[j],
+                     static_cast<double>(table[q2[j]]));
+        }
+      }
+      if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;
+    }
+  }
+  return 0;
+}
+
 // number of candidates inserted so far (an upper bound on the path length,
 // for sizing the finish() output buffers)
 int64_t lis_stream_count(void* ctx) {

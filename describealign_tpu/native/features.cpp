@@ -20,6 +20,8 @@
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <memory>
+#include <mutex>
 #include <vector>
 
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__F16C__)
@@ -313,19 +315,39 @@ struct StageTimer {
   }
 };
 
-// Reused per-thread buffers: the extractor's intermediates total ~700 MB
+// Reused scratch buffers: the extractor's intermediates total ~700 MB
 // of traffic at 27-min scale; allocating them fresh each call costs more
-// in page faults + zero-init than the arithmetic itself. Capacity persists
-// across calls (media-length bounded), so steady-state runs touch no new
-// pages. thread_local: batch mode may extract from worker threads.
+// in page faults + zero-init than the arithmetic itself. A mutex-guarded
+// pool (acquire at call start, return at call end) shares buffersets
+// across batch-mode worker threads and bounds retention at
+// kScratchRetain sets - thread_local scratch pinned one media-length
+// bufferset per worker thread for the process lifetime (>1 GB after a
+// 4-worker batch).
 struct FeatScratch {
   std::vector<float> arr, energy, smooth, counts;
   std::vector<float> bottom[2], band_energy, band;
 };
-FeatScratch& feat_scratch() {
-  static thread_local FeatScratch s;
-  return s;
-}
+std::mutex g_scratch_mu;
+std::vector<std::unique_ptr<FeatScratch>> g_scratch_pool;
+constexpr size_t kScratchRetain = 2;  // buffersets kept across calls
+
+struct ScratchLease {
+  std::unique_ptr<FeatScratch> s;
+  ScratchLease() {
+    std::lock_guard<std::mutex> lk(g_scratch_mu);
+    if (!g_scratch_pool.empty()) {
+      s = std::move(g_scratch_pool.back());
+      g_scratch_pool.pop_back();
+    } else {
+      s.reset(new FeatScratch);
+    }
+  }
+  ~ScratchLease() {
+    std::lock_guard<std::mutex> lk(g_scratch_mu);
+    if (g_scratch_pool.size() < kScratchRetain)
+      g_scratch_pool.push_back(std::move(s));
+  }
+};
 
 }  // namespace
 
@@ -352,7 +374,8 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   // the energy feature needs; no full-rate intermediate is materialized
   // twice.
   int64_t n_arr = samples - samples % 210;
-  FeatScratch& S = feat_scratch();
+  ScratchLease lease;
+  FeatScratch& S = *lease.s;
   std::vector<float>& arr = S.arr;
   // mono + AVX-512: the band cascade converts PCM block-locally and the
   // energy sums convert in registers, so the 285 MB-at-media-scale

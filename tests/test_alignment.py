@@ -164,6 +164,42 @@ def test_streamed_multichunk_matches_single_shot(monkeypatch):
         matching.match_fine_chunk.clear_cache()
 
 
+def test_streamed_coarse_dp_matches_materialized(monkeypatch):
+    """The memory-bounded streamed coarse DP (checkpointed score-map
+    rematerialization, used automatically for hour-plus media where the
+    (B, D) score/cost tensors would not fit HBM) must produce exactly the
+    same k-best track starts and centers as the materialized path.
+    ~150 s of content spans 3 COARSE_CHUNK tiles, exercising checkpoint
+    handoff and jump backtrace across chunk boundaries."""
+    from describealign_tpu.alignment import matching
+    from describealign_tpu.alignment.api import (_bucket_pad,
+                                                 host_features_padded)
+    from describealign_tpu.alignment.preprocess import preprocess_features
+
+    video, audio, _ = build_pair(
+        content_seconds=150.0, narration=((50.0, 4.0), (100.0, 5.0)),
+        lead_in=8.0, seed=29)
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    video, audio = to_i16(video), to_i16(audio)
+    sv, sa = video.shape[1], audio.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(video, sv, npad)
+    fa, na = host_features_padded(audio, sa, npad)
+    ms_a, norms_a = preprocess_features(fa)
+    ms_v, norms_v = preprocess_features(fv)
+
+    want = matching._coarse_tracks(ms_a, norms_a, fa[0], na,
+                                   ms_v, norms_v, fv[0], nv)
+    monkeypatch.setattr(matching, 'COARSE_STREAM_ELEMS', 0)
+    got = matching._coarse_tracks(ms_a, norms_a, fa[0], na,
+                                  ms_v, norms_v, fv[0], nv)
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
+
+
 def test_align_mismatched_raises():
     """Unrelated content must fail alignment, like the reference does."""
     # reuse the dims of test_align_offset_only so compiled shapes are cached

@@ -143,6 +143,23 @@ def test_feed_split_equals_full_rate_feed():
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_array_equal(a1, a2)
 
+    # feed_packed on the wire-format int16 buffer (the exact layout
+    # match_fine_chunk emits: band-1 code words + offsets per frame, then
+    # even-frame rescue rows) == feed_split on the unpacked arrays
+    def pack_np(codes, offs_):
+        nb_, blk_, k_ = codes.shape
+        cw = np.ascontiguousarray(
+            codes.reshape(nb_, blk_, k_ // 2, 2)).view(np.int16)[..., 0]
+        return np.concatenate([cw, offs_], axis=2).reshape(nb_, -1)
+
+    packed = np.concatenate(
+        [pack_np(c1, o1), pack_np(c2[:, ::2, :], o2[:, ::2, :])], axis=1)
+    with lis.LisStream(key_bound) as s3:
+        s3.feed_packed(packed, starts, a_base=420, blk=blk, k1=k1, k2=k2)
+        v3, a3 = s3.finish()
+    np.testing.assert_array_equal(v1, v3)
+    np.testing.assert_array_equal(a1, a3)
+
 
 def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
     """Cluster-shaped candidate points like pass 2 produces.
