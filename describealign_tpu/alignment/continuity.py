@@ -81,24 +81,39 @@ def compress_path(x, y, run=70, err_threshold=3.0):
     offsets = smooth_y[:-1] - smooth_x[:-1] * slopes
     err_y = slopes * x[:-1] + offsets - y[:-1]
 
-    comp_x, comp_y = [], []
-
-    def extend(index, compress=False, num=run):
-        if compress:
-            comp_x.append(np.mean(x[index:index + num]))
-            comp_y.append(np.mean(y[index:index + num]))
-        else:
-            comp_x.extend(x[index:index + num])
-            comp_y.extend(y[index:index + num])
-
-    extend(0, num=10)
-    i = 10 - run  # matches reference tail handling when the loop is empty
-    for i in range(10, len(x) - run - 10, run):
-        extend(i, compress=bool(np.all(np.abs(err_y[i:i + run]) < err_threshold)))
-    extend(i + run)
-
-    cx = np.asarray(comp_x)
-    cy = np.asarray(comp_y)
+    # run flags and means are vectorized (the original per-element Python
+    # list building dominated the host tail at media scale); the element
+    # sequence matches the reference loop exactly, including its tail
+    # handling when the loop body is empty
+    starts = np.arange(10, max(len(x) - run - 10, 10), run)
+    pieces_x = [x[:10]]
+    pieces_y = [y[:10]]
+    if len(starts):
+        ok = np.abs(err_y) < err_threshold
+        csum = np.concatenate([[0], np.cumsum(ok)])
+        flags = (csum[starts + run] - csum[starts]) == run
+        fstarts = starts[flags]
+        if len(fstarts):
+            idx = fstarts[:, None] + np.arange(run)[None, :]
+            mean_x = np.mean(x[idx], axis=1)   # row-wise == per-slice mean
+            mean_y = np.mean(y[idx], axis=1)
+        fi = 0
+        for k in range(len(starts)):
+            s = starts[k]
+            if flags[k]:
+                pieces_x.append(mean_x[fi:fi + 1])
+                pieces_y.append(mean_y[fi:fi + 1])
+                fi += 1
+            else:
+                pieces_x.append(x[s:s + run])
+                pieces_y.append(y[s:s + run])
+        last = starts[-1]
+    else:
+        last = 10 - run
+    pieces_x.append(x[last + run:last + 2 * run])
+    pieces_y.append(y[last + run:last + 2 * run])
+    cx = np.concatenate(pieces_x)
+    cy = np.concatenate(pieces_y)
     # dedupe: average video indices of equal audio indices, preserving the
     # first-occurrence order (reference 760-767)
     x_unique, first_idx, inverse = np.unique(cx, return_index=True,

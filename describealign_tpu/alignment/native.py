@@ -96,6 +96,8 @@ def native_lib():
             lib.lis_stream_count.argtypes = [ctypes.c_void_p]
             lib.lis_stream_finish.restype = ctypes.c_int
             lib.refine_dp.restype = ctypes.c_int
+            lib.refine_score_cluster.restype = ctypes.c_int
+            lib.refine_offset_stats.restype = ctypes.c_int
             lib.tv1d_weighted.restype = ctypes.c_int
             lib.extract_features_i16.restype = ctypes.c_int
             lib.pv_phase_lock.restype = ctypes.c_int

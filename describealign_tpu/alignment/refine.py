@@ -150,6 +150,40 @@ def build_points(line_clusters, audio_scaled, video_scaled):
     return [sorted(p) for p in points]
 
 
+def _native_refine_lib(audio_scaled, video_scaled):
+    """The native scorer handles the production dtype/layout (f32, C
+    contiguous); anything else takes the numpy path."""
+    import os
+    if os.environ.get('DESCRIBEALIGN_NO_NATIVE_SCORER'):
+        return None
+    from .native import native_lib
+    lib = native_lib()
+    if (lib is None or not hasattr(lib, 'refine_score_cluster')
+            or audio_scaled.dtype != np.float32
+            or video_scaled.dtype != np.float32
+            or not audio_scaled.flags.c_contiguous
+            or not video_scaled.flags.c_contiguous):
+        return None
+    return lib
+
+
+def _score_cluster_native(lib, limits, slope, offset, audio_scaled,
+                          video_scaled, amax, vmax):
+    import ctypes
+    n = limits[1] - limits[0]
+    quals = np.empty(n, np.float64)
+    rc = lib.refine_score_cluster(
+        audio_scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(audio_scaled)),
+        video_scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(video_scaled)),
+        ctypes.c_double(slope), ctypes.c_double(offset),
+        ctypes.c_longlong(limits[0]), ctypes.c_longlong(limits[1]),
+        ctypes.c_double(amax), ctypes.c_double(vmax),
+        quals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return quals if rc == 0 else None
+
+
 def build_points_flat(line_clusters, audio_scaled, video_scaled):
     """Vectorized build_points producing flat arrays for the native DP.
 
@@ -157,11 +191,15 @@ def build_points_flat(line_clusters, audio_scaled, video_scaled):
     (audio frame, video pos, cluster, qual) with offsets[i]..offsets[i+1]
     indexing frame i's points. Semantics identical to build_points
     (first-processed cluster wins duplicate (frame, int(video)) points).
+    The dense per-cluster scoring runs in C++ when available (same math,
+    ~1e-13 relative from the fused log10; see dp.cpp refine_score_cluster)
+    - it was the largest single numpy stage left on the host tail.
     """
     na = len(audio_scaled)
     nv = len(video_scaled)
     audio_max_energy = np.max(audio_scaled[:, 0])
     video_max_energy = np.max(video_scaled[:, 0])
+    lib = _native_refine_lib(audio_scaled, video_scaled)
 
     all_i, all_j, all_c, all_q = [], [], [], []
     for cluster_index, (cx, offset, slope) in enumerate(line_clusters):
@@ -170,16 +208,25 @@ def build_points_flat(line_clusters, audio_scaled, video_scaled):
             continue
         if limits[1] > limits[0] + 100:
             offset = _offset_correction(limits, slope, offset,
-                                        audio_scaled, video_scaled)
+                                        audio_scaled, video_scaled, lib)
         limits = _cluster_limits(cx, offset, slope, na, nv)
         xs = np.arange(*limits)
         ys = slope * xs + offset
-        audio_match = audio_scaled[slice(*limits)]
-        video_match = _interp_video(video_scaled, ys)
-        quals = np.sum(-.5 - np.log10(1e-4 + np.abs(audio_match - video_match)),
-                       axis=1)
-        quals *= np.clip(video_match[:, 0] + 2.5 - video_max_energy, 0, 1)
-        quals += np.clip(audio_match[:, 0] + 2.5 - audio_max_energy, 0, 1) * .1
+        quals = None
+        if lib is not None:
+            quals = _score_cluster_native(
+                lib, limits, slope, offset, audio_scaled, video_scaled,
+                float(audio_max_energy), float(video_max_energy))
+        if quals is None:
+            audio_match = audio_scaled[slice(*limits)]
+            video_match = _interp_video(video_scaled, ys)
+            quals = np.sum(
+                -.5 - np.log10(1e-4 + np.abs(audio_match - video_match)),
+                axis=1)
+            quals *= np.clip(video_match[:, 0] + 2.5 - video_max_energy,
+                             0, 1)
+            quals += np.clip(audio_match[:, 0] + 2.5 - audio_max_energy,
+                             0, 1) * .1
         all_i.append(xs)
         all_j.append(ys)
         all_c.append(np.full(len(xs), cluster_index, np.int64))
@@ -218,9 +265,41 @@ def _cluster_limits(cx, offset, slope, na, nv, extend_horiz=EXTEND_RADIUS,
                 int(np.floor((nv - buffer_vert - offset) / slope))))
 
 
-def _offset_correction(limits, slope, offset, audio_scaled, video_scaled):
+def _offset_correction(limits, slope, offset, audio_scaled, video_scaled,
+                       lib=None):
     """Sub-frame offset correction via the feature time-derivative
-    (reference 916-930); returns the possibly-adjusted offset."""
+    (reference 916-930); returns the possibly-adjusted offset.
+
+    With the native library, the interp + masked single-column lstsq
+    reduce to one C++ pass over the window (refine_offset_stats) and the
+    acceptance rule is applied here from its sufficient statistics - for a
+    rank-1 design, lstsq's solution and residual are num/den and
+    sq - num^2/den."""
+    import ctypes
+    if lib is not None:
+        valid = ctypes.c_longlong(0)
+        num = ctypes.c_double(0.0)
+        den = ctypes.c_double(0.0)
+        sq = ctypes.c_double(0.0)
+        rc = lib.refine_offset_stats(
+            audio_scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_longlong(len(audio_scaled)),
+            video_scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_longlong(len(video_scaled)),
+            ctypes.c_double(slope), ctypes.c_double(offset),
+            ctypes.c_longlong(limits[0]), ctypes.c_longlong(limits[1]),
+            ctypes.byref(valid), ctypes.byref(num), ctypes.byref(den),
+            ctypes.byref(sq))
+        if rc == 0:
+            if valid.value > 50 and den.value > 0 and sq.value > 0:
+                lin_fit = num.value / den.value
+                residual = sq.value - num.value * num.value / den.value
+                explained = 1.0 - residual / sq.value
+                stds_above = np.sqrt(max(explained, 0.0)
+                                     * (3.0 * valid.value)) - 1.0
+                if stds_above > 8 and abs(lin_fit) < 2:
+                    return offset + lin_fit
+            return offset
     xs = np.arange(*limits)
     ys = slope * xs + offset
     audio_match = audio_scaled[slice(*limits)]

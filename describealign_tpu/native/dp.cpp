@@ -745,3 +745,154 @@ int tv1d_weighted(const double* r, const double* w, const double* kappa,
 
 }  // extern "C"
 
+// --------------------------------------------------------------------------
+// pass-2 cluster scoring
+// --------------------------------------------------------------------------
+// Vectorized twin of refine.build_points_flat's per-cluster dense scoring
+// (reference describealign.py:934-944): for audio frames x in [x0, x1),
+// y = slope*x + offset, the (nv, 3) scaled video features are linearly
+// interpolated at y and
+//   qual = sum_j (-0.5 - log10(1e-4 + |a[x,j] - v(y)_j|))
+//          * clip(v(y)_0 + 2.5 - vmax, 0, 1)
+//          + clip(a[x,0] + 2.5 - amax, 0, 1) * 0.1
+// The three log10 terms collapse to one log10 of the product (exact in
+// real arithmetic; ~1e-15 relative from the f64 rounding reorder), and
+// log10 itself is a branchless atanh-series so the whole loop
+// auto-vectorizes - this stage burned ~0.12 s/pair of scarce host CPU in
+// numpy (transcendental-heavy) vs ~0.01 s here.
+
+namespace {
+
+// branchless f64 log10 for positive normals, ~1e-13 relative error
+// (decision noise for the pass-2 DP whose penalties are 50..1000)
+inline double log10_fast(double x) {
+  uint64_t bits;
+  std::memcpy(&bits, &x, 8);
+  int e = static_cast<int>((bits >> 52) & 0x7FF) - 1023;
+  uint64_t mbits = (bits & 0xFFFFFFFFFFFFFull) | (0x3FFull << 52);
+  double m;
+  std::memcpy(&m, &mbits, 8);
+  const bool big = m > 1.4142135623730951;
+  m = big ? m * 0.5 : m;
+  e += big ? 1 : 0;
+  const double t = (m - 1.0) / (m + 1.0);
+  const double t2 = t * t;
+  const double lnm = 2.0 * t * (1.0 + t2 * (1.0 / 3 + t2 * (1.0 / 5
+      + t2 * (1.0 / 7 + t2 * (1.0 / 9 + t2 * (1.0 / 11 + t2 * (1.0 / 13
+      + t2 * (1.0 / 15 + t2 / 17))))))));
+  const double ln2 = 0.6931471805599453;
+  const double inv_ln10 = 0.4342944819032518;
+  return (e * ln2 + lnm) * inv_ln10;
+}
+
+}  // namespace
+
+extern "C" {
+
+int refine_score_cluster(const float* audio_scaled, int64_t na,
+                         const float* video_scaled, int64_t nv,
+                         double slope, double offset,
+                         int64_t x0, int64_t x1,
+                         double amax, double vmax,
+                         double* out_quals) {
+  if (x0 < 0 || x1 > na || x1 < x0 || nv < 2) return 1;
+  const int64_t n = x1 - x0;
+  constexpr int64_t BLK = 512;
+  double prod[BLK], vclip[BLK], abump[BLK];
+  for (int64_t b0 = 0; b0 < n; b0 += BLK) {
+    const int64_t bn = (BLK < n - b0) ? BLK : (n - b0);
+    for (int64_t i = 0; i < bn; ++i) {
+      const int64_t x = x0 + b0 + i;
+      const double y = slope * static_cast<double>(x) + offset;
+      double fl = std::floor(y);
+      int64_t lo = static_cast<int64_t>(fl);
+      lo = lo < 0 ? 0 : (lo > nv - 2 ? nv - 2 : lo);
+      const double frac = y - static_cast<double>(lo);
+      const float* vp = video_scaled + lo * 3;
+      const float* ap = audio_scaled + x * 3;
+      double p = 1.0;
+      double v0 = 0.0;
+      for (int j = 0; j < 3; ++j) {
+        const double v = static_cast<double>(vp[j]) * (1.0 - frac)
+                         + static_cast<double>(vp[j + 3]) * frac;
+        if (j == 0) v0 = v;
+        const double d = 1e-4 + std::fabs(static_cast<double>(ap[j]) - v);
+        p *= d;
+      }
+      prod[i] = p;
+      double vc = v0 + 2.5 - vmax;
+      vclip[i] = vc < 0.0 ? 0.0 : (vc > 1.0 ? 1.0 : vc);
+      // the audio bump stays in f32 exactly like the numpy expression
+      // (f32 array + weak python scalars keeps f32 under NumPy 2 rules)
+      float ac = (ap[0] + 2.5f) - static_cast<float>(amax);
+      ac = ac < 0.f ? 0.f : (ac > 1.f ? 1.f : ac);
+      abump[i] = static_cast<double>(ac * 0.1f);
+    }
+    for (int64_t i = 0; i < bn; ++i) {
+      out_quals[b0 + i] = (-1.5 - log10_fast(prod[i])) * vclip[i]
+                          + abump[i];
+    }
+  }
+  return 0;
+}
+
+// The sub-frame offset-correction statistics (reference 916-930): one pass
+// computes, over valid rows (mean err < 0.1), the 1-column lstsq of
+// err ~ vdiff and its residual. Returns counts and sums; the caller
+// applies the reference's acceptance rule. err/vdiff use rows 1..n-2 of
+// the interpolated window exactly like the numpy path.
+int refine_offset_stats(const float* audio_scaled, int64_t na,
+                        const float* video_scaled, int64_t nv,
+                        double slope, double offset,
+                        int64_t x0, int64_t x1,
+                        int64_t* out_valid, double* out_num,
+                        double* out_den, double* out_sq) {
+  if (x0 < 0 || x1 > na || x1 < x0 || nv < 2) return 1;
+  const int64_t n = x1 - x0;
+  if (n < 3) {
+    *out_valid = 0;
+    *out_num = *out_den = *out_sq = 0.0;
+    return 0;
+  }
+  int64_t valid = 0;
+  double num = 0.0, den = 0.0, sq = 0.0;
+  // v(y) at rows i-1, i, i+1 is recomputed per row; the interp is cheap
+  // next to the division the numpy path needs anyway
+  for (int64_t i = 1; i < n - 1; ++i) {
+    const int64_t x = x0 + i;
+    double err[3], vd[3];
+    double mean_err = 0.0;
+    for (int j = 0; j < 3; ++j) {
+      const float* ap = audio_scaled + x * 3;
+      auto interp = [&](int64_t xx) {
+        const double y = slope * static_cast<double>(xx) + offset;
+        int64_t lo = static_cast<int64_t>(std::floor(y));
+        lo = lo < 0 ? 0 : (lo > nv - 2 ? nv - 2 : lo);
+        const double frac = y - static_cast<double>(lo);
+        const float* vp = video_scaled + lo * 3 + j;
+        return static_cast<double>(vp[0]) * (1.0 - frac)
+               + static_cast<double>(vp[3]) * frac;
+      };
+      const double v_mid = interp(x);
+      err[j] = static_cast<double>(audio_scaled[x * 3 + j]) - v_mid;
+      vd[j] = (interp(x + 1) - interp(x - 1)) * 0.5;
+      mean_err += err[j];
+    }
+    if (mean_err / 3.0 < 0.1) {
+      ++valid;
+      for (int j = 0; j < 3; ++j) {
+        num += vd[j] * err[j];
+        den += vd[j] * vd[j];
+        sq += err[j] * err[j];
+      }
+    }
+  }
+  *out_valid = valid;
+  *out_num = num;
+  *out_den = den;
+  *out_sq = sq;
+  return 0;
+}
+
+}  // extern "C"
+

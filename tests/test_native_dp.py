@@ -200,6 +200,37 @@ def test_refine_dp_native_matches_python(seed):
     np.testing.assert_allclose(path_py[:, :4], path_cc[:, :4], rtol=1e-12)
 
 
+def test_native_cluster_scorer_matches_numpy(monkeypatch):
+    """The C++ pass-2 cluster scorer (f64 fused-log10 pipeline) must match
+    the numpy scoring on production-layout (f32, C-contiguous) inputs.
+
+    Tolerances: the scorer fuses the three log10 terms into one and the
+    offset-correction uses the rank-1 normal equations instead of numpy's
+    SVD lstsq - both agree to ~1e-8 absolute, far below the pass-2 DP's
+    50..1000-point decision scale."""
+    from describealign_tpu.alignment.native import native_lib
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    na, nv = 4000, 4300
+    audio_scaled = (rng.normal(0, 1, (na, 3)).cumsum(axis=0)
+                    * 0.01).astype(np.float32)
+    video_scaled = (rng.normal(0, 1, (nv, 3)).cumsum(axis=0)
+                    * 0.01).astype(np.float32)
+    # long clusters exercise the offset-correction branch too
+    clusters = [(np.arange(50, 3500), 20.0, 1.001),
+                (np.arange(100, 2000), -5.0, 0.999),
+                (np.arange(1500, 3900), 40.0, 1.0),
+                (np.arange(200, 280), 10.0, 1.002)]   # short: no correction
+    a = refine.build_points_flat(clusters, audio_scaled, video_scaled)
+    monkeypatch.setenv('DESCRIBEALIGN_NO_NATIVE_SCORER', '1')
+    b = refine.build_points_flat(clusters, audio_scaled, video_scaled)
+    np.testing.assert_array_equal(a[3], b[3])
+    np.testing.assert_allclose(a[0], b[0], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-6, atol=1e-6)
+
+
 def test_build_points_flat_matches_lists():
     """Vectorized flat point building == the semantic list version."""
     rng = np.random.default_rng(5)

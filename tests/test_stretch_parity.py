@@ -1,0 +1,162 @@
+"""Stretch-mode DECISION parity against the executed reference.
+
+The reference's replace_aligned_segments (describealign.py:389-416) makes
+two decisions per alignment segment: replace it at all (duration >= 2 s and
+rate ratio within 10%), and resampler-vs-splicer (pitch correction off,
+imperceptible ratio <= 0.5%, or total offset under 30 samples -> the plain
+resampler; otherwise the pitch-preserving splicer). Round 2 tested our
+segment rules only against our own constants; here the reference function
+RUNS IN PLACE on synthetic fits and its decisions are read back from its
+output arrays:
+
+- replaced segments: the video track is a DC constant, so any deviation
+  marks a replacement;
+- splicer vs resampler: the description track is white noise; the splicer
+  copies integer-aligned input runs (probe windows correlate ~1.0 against
+  the input at some integer lag), while the resampler at a 3% rate writes
+  fractionally-interpolated samples everywhere (max integer-lag
+  correlation ~0.85). Probe windows are sampled across the segment and the
+  max taken, so splicer crossfade regions cannot mask the copy runs.
+
+Our decisions are recorded directly by monkeypatching the two backends.
+
+Note: the MIN_STRETCH_OFFSET=30-samples rule is unreachable for real
+segments in both implementations (a >= 2 s segment with >0.5% ratio always
+has >= 441 samples of offset), so it has no scenario here.
+"""
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import ref  # noqa: F401  (fixture)
+
+SR = 44100
+DC = 500.0
+
+
+def _build_nodes():
+    """Alignment nodes covering every reachable decision branch.
+
+    Returns (x audio times, y video times, want) where want[i] is the
+    expected decision for segment i: 'skip', 'resample', or 'stretch'.
+    """
+    # (video duration s, slope = diff_x/diff_y, expected decision);
+    # durations are DISTINCT so recorded backend calls attribute uniquely
+    plan = [
+        (1.5, 1.0, 'skip'),        # under MIN_DURATION_TO_REPLACE_SECONDS
+        (5.0, 1.003, 'resample'),  # ratio under the 0.5% JND
+        (6.0, 1.03, 'stretch'),    # perceptible ratio -> pitch-preserving
+        (7.0, 1.15, 'skip'),       # ratio over MAX_RATE_RATIO_DIFF_ALIGN
+        (8.0, 0.997, 'resample'),  # JND from below (a plain copy at slope
+                                   # exactly 1.0 is indistinguishable from a
+                                   # splice on any content, so both JND
+                                   # probes use fractional rates)
+        (9.0, 0.97, 'stretch'),    # opposite-direction stretch
+    ]
+    y = [0.0]
+    x = [5.0]
+    want = []
+    for dur, slope, decision in plan:
+        y.append(y[-1] + dur)
+        x.append(x[-1] + slope * dur)
+        want.append(decision)
+    return np.asarray(x), np.asarray(y), want
+
+
+def _probe_is_splice(out_seg, audio, x0, x1):
+    """True if some probe window of out_seg is an integer-aligned copy of
+    the audio slice (the splicer's signature on white noise)."""
+    n = out_seg.shape[0]
+    src = audio[max(0, x0 - 2048):x1 + 2048]
+    best = 0.0
+    for frac in (0.25, 0.4, 0.5, 0.6, 0.75):
+        m0 = int(n * frac)
+        w = out_seg[m0:m0 + 256]
+        if len(w) < 256 or np.std(w) < 1e-3:
+            continue
+        # normalized cross-correlation peak over integer lags
+        c = np.correlate(src, w, mode='valid')
+        denom = np.sqrt(np.sum(w * w))
+        # local window norms for the top few candidate lags
+        lags = np.argsort(c)[-3:]
+        for lag in lags:
+            seg = src[lag:lag + 256]
+            nrm = denom * np.sqrt(np.sum(seg * seg))
+            if nrm > 0:
+                best = max(best, float(c[lag] / nrm))
+    return best > 0.99
+
+
+def _reference_decisions(ref, x, y, no_pitch_correction):
+    rng = np.random.default_rng(5)
+    n_video = int((y[-1] + 1.0) * SR)
+    n_audio = int((x[-1] + 1.0) * SR)
+    video_arr = np.full((1, n_video), DC, np.float32)
+    audio_arr = (rng.standard_normal(n_audio) * 1000.0).astype(
+        np.float32)[None, :]
+    with redirect_stdout(io.StringIO()):
+        ref.replace_aligned_segments(video_arr, audio_arr, x, y,
+                                     no_pitch_correction)
+    xs = (x * SR).astype(int)
+    ys = (y * SR).astype(int)
+    got = []
+    for i in range(len(x) - 1):
+        seg = video_arr[0, ys[i]:ys[i + 1]]
+        core = seg[len(seg) // 4: -len(seg) // 4]
+        if np.max(np.abs(core - DC)) < 1.0:
+            got.append('skip')
+        elif _probe_is_splice(seg, audio_arr[0], xs[i], xs[i + 1]):
+            got.append('stretch')
+        else:
+            got.append('resample')
+    return got
+
+
+def _our_decisions(x, y, no_pitch_correction, monkeypatch):
+    from describealign_tpu.stretch import segments
+
+    calls = {}
+
+    def fake_resample(audio_desc_arr, x0, x1, out_len):
+        calls[len(calls)] = ('resample', out_len)
+        return np.zeros((audio_desc_arr.shape[0], out_len), np.float32)
+
+    def fake_pv(seg, out_len):
+        calls[len(calls)] = ('stretch', out_len)
+        return np.zeros((seg.shape[0], out_len), np.float32)
+
+    monkeypatch.setattr(segments, 'resample_segment', fake_resample)
+    monkeypatch.setattr(segments, 'pv_stretch', fake_pv)
+    n_video = int((y[-1] + 1.0) * SR)
+    n_audio = int((x[-1] + 1.0) * SR)
+    video_arr = np.full((1, n_video), DC, np.float32)
+    audio_arr = np.zeros((1, n_audio), np.float32)
+    with redirect_stdout(io.StringIO()):
+        segments.replace_aligned_segments(video_arr, audio_arr, x, y,
+                                          no_pitch_correction)
+    ys = (y * SR).astype(int)
+    decisions = []
+    k = 0
+    for i in range(len(x) - 1):
+        want_len = ys[i + 1] - ys[i]
+        if k in calls and calls[k][1] == want_len:
+            decisions.append(calls[k][0])
+            k += 1
+        else:
+            decisions.append('skip')
+    assert k == len(calls), "unmatched backend calls"
+    return decisions
+
+
+@pytest.mark.parametrize('no_pitch_correction', [False, True])
+def test_stretch_decisions_match_reference(ref, no_pitch_correction,
+                                           monkeypatch):
+    x, y, want = _build_nodes()
+    r = _reference_decisions(ref, x, y, no_pitch_correction)
+    o = _our_decisions(x, y, no_pitch_correction, monkeypatch)
+    if no_pitch_correction:
+        want = [('resample' if w == 'stretch' else w) for w in want]
+    assert r == want, f"reference decisions diverged from plan: {r}"
+    assert o == r
