@@ -500,10 +500,9 @@ def _streamed_lis(dev_a, na, dev_v, nv):
 
 def _use_streaming():
     import os
-    # DESCRIBEALIGN_PALLAS opts into the fused fine kernel, which only
-    # runs on the single-shot (full-pass) path - honor it over streaming
+    # the fused fine kernel is chunk-capable, so streaming and the kernel
+    # compose (the kernel serves both the streamed and single-shot paths)
     return (os.environ.get('DESCRIBEALIGN_STREAM', '1') != '0'
-            and not matching._use_pallas()
             and lis.LisStream.available())
 
 

@@ -65,18 +65,20 @@ DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
 DP_JUMP_COST = 4.0
 
 
-def _use_pallas():
-    """Fused Pallas fine-match kernel: opt-in via DESCRIBEALIGN_PALLAS=1
-    (or =interpret for the CPU interpreter, used by tests)."""
-    import os
-    return os.environ.get('DESCRIBEALIGN_PALLAS', '') not in ('', '0')
+def _fine_kernel_mode():
+    """Production fine pass selection: the fused Pallas kernel
+    (ops/fine_kernel.py) on TPU, the XLA lax.map path elsewhere.
 
-
-def _pallas_interpret():
+    Returns '' (XLA path), 'tpu' (compiled kernel), or 'interpret' (the
+    Pallas CPU interpreter - test/debug only; DESCRIBEALIGN_PALLAS=0
+    forces the XLA path on any backend)."""
     import os
-    import jax as _jax
-    return (os.environ.get('DESCRIBEALIGN_PALLAS') == 'interpret'
-            or _jax.default_backend() == 'cpu')
+    v = os.environ.get('DESCRIBEALIGN_PALLAS', '')
+    if v == '0':
+        return ''
+    if v == 'interpret':
+        return 'interpret'
+    return 'tpu' if jax.default_backend() == 'tpu' else ''
 
 
 def _windows(x, start, count, width=WINDOW):
@@ -650,20 +652,20 @@ def _fine_tracks(feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
     for rescue bands; band 1 spans groups 0-1.
     """
     b_global = b0 + jnp.arange(count, dtype=jnp.int32)
-    # the opt-in Pallas kernel indexes blocks from 0 - full pass only
-    pallas_ok = _use_pallas() and isinstance(b0, int) and b0 == 0
+    kernel_mode = _fine_kernel_mode()
 
     all_quals, all_offs, all_starts = [], [], []
     for t in range(starts_tracks.shape[0]):
         starts = starts_tracks[t]
 
-        if pallas_ok:
-            from ..ops.pallas_fine import fine_match_pallas
-            quals, vids = fine_match_pallas(
+        if kernel_mode:
+            from ..ops.fine_kernel import fine_match_fused
+            quals, offs32 = fine_match_fused(
                 feats_a, norms_a, a_mask.astype(jnp.float32),
                 feats_v, norms_v, v_mask.astype(jnp.float32),
-                starts, interpret=_pallas_interpret())
-            offs = (vids - starts[:, None, None]).astype(jnp.int16)
+                starts, b_global * BLOCK,
+                interpret=(kernel_mode == 'interpret'))
+            offs = offs32.astype(jnp.int16)
         else:
             def one_block(inp):
                 b, start = inp

@@ -73,14 +73,16 @@ def test_sharded_match_equals_batched(small_batch):
     np.testing.assert_array_equal(np.asarray(vids_s), np.asarray(vids_b))
     np.testing.assert_array_equal(np.asarray(centers_s), np.asarray(centers_b))
 
-def test_pallas_fine_matches_xla():
-    """The fused Pallas fine-match kernel (interpret mode on CPU) must equal
-    the XLA lax.map path bit-for-bit in candidate structure."""
+def test_fine_kernel_matches_xla():
+    """The fused Pallas fine-match kernel (interpret mode on CPU; the
+    production fine pass on TPU) must produce the XLA lax.map path's
+    candidate sets, including a NONZERO audio start (the streamed chunk
+    configuration the round-2 kernel could not serve)."""
     import jax.numpy as jnp
     from describealign_tpu.alignment import matching, preprocess
     from describealign_tpu.alignment.api import _bucket_pad, _stack_padded
     from describealign_tpu.ops.features import extract_features
-    from describealign_tpu.ops.pallas_fine import fine_match_pallas
+    from describealign_tpu.ops.fine_kernel import fine_match_fused
 
     video, audio, _ = build_pair(content_seconds=14.0, narration=(),
                                  lead_in=2.0, seed=0)
@@ -96,7 +98,7 @@ def test_pallas_fine_matches_xla():
     quals, vids, centers = matching.match_pair(ms_a, norms_a, fa[0], na,
                                                ms_v, norms_v, fv[0], nv)
     # compare only the primary track's band (first TOP_K slots): the
-    # pallas kernel below runs a single band at the same starts
+    # kernel below runs a single band at the same starts
     quals = quals[:, :, :matching.TOP_K]
     vids = vids[:, :, :matching.TOP_K]
     nb = centers.shape[0]
@@ -106,9 +108,18 @@ def test_pallas_fine_matches_xla():
         jnp.arange(nb, dtype=jnp.int32) * matching.BLOCK + centers
         - matching.FINE_HALF_BAND, 0,
         npad - (matching.FINE_W + preprocess.WINDOW - 1))
-    qp, vp = fine_match_pallas(ms_a, norms_a, a_mask.astype(jnp.float32),
-                               ms_v, norms_v, v_mask.astype(jnp.float32),
-                               starts, interpret=True)
+    a_starts = jnp.arange(nb, dtype=jnp.int32) * matching.BLOCK
+    qp, op = fine_match_fused(ms_a, norms_a, a_mask.astype(jnp.float32),
+                              ms_v, norms_v, v_mask.astype(jnp.float32),
+                              starts, a_starts, interpret=True)
+    vp = np.asarray(starts)[:, None, None] + np.asarray(op)
+    # chunk configuration: blocks 2.. as a chunk with b0=2 must reproduce
+    # the full pass's rows 2..
+    qp2, op2 = fine_match_fused(ms_a, norms_a, a_mask.astype(jnp.float32),
+                                ms_v, norms_v, v_mask.astype(jnp.float32),
+                                starts[2:], a_starts[2:], interpret=True)
+    np.testing.assert_array_equal(np.asarray(qp2), np.asarray(qp)[2:])
+    np.testing.assert_array_equal(np.asarray(op2), np.asarray(op)[2:])
     qn, vn = np.asarray(quals), np.asarray(vids)
     qpn, vpn = np.asarray(qp), np.asarray(vp)
     # same candidate SET (f32 op-order reshuffles near-equal quals within a
