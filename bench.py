@@ -9,7 +9,8 @@ planted 202 s start offset and 8 narration insertions stands in).
 Measured: warm end-to-end align time - PCM in RAM -> features -> matching ->
 LIS -> fit -> pass 2 -> nodes (decode excluded on both sides, per
 BASELINE.md "decode aside"). Also reports batch-mode throughput over 8
-pairs in audio-minutes/sec/chip.
+pairs with DISTINCT content (incl. a ~50%-similarity member and a 3%
+rate-changed member; see build_batch_pairs) in audio-minutes/sec/chip.
 
 Prints ONE JSON line.
 """
@@ -22,6 +23,7 @@ import numpy as np
 
 
 BENCH_PAIR_CACHE = "/tmp/describealign_bench_pair_v1.npz"
+BENCH_BATCH_CACHE = "/tmp/describealign_bench_batch_v3.npz"
 
 
 def build_scale_pair():
@@ -44,6 +46,81 @@ def build_scale_pair():
     except Exception:
         pass
     return video, audio, segments
+
+
+def _narr(first, spacing, dur, count):
+    return tuple((first + spacing * k, dur) for k in range(count))
+
+
+def build_batch_pairs():
+    """8 feature-length pairs with DISTINCT content (different seeds ->
+    different self-similarity structure), all sharing one audio shape
+    bucket (~27 min):
+
+    - pairs 0-4, 7: ordinary AD-style pairs (22-min content, varying
+      lead-ins and narration layouts);
+    - pair 5: ~50% similarity (13.5 min of content + 11 min of narration
+      insertions + lead-in) - the regime the reference README's Ask Dad
+      pair lives in (50.70%) and where its >90%-undescribed warning gate
+      does NOT fire;
+    - pair 6: a 3% rate-changed description (PAL-style), exercising the
+      coarse DP's drift tracking + fused-lasso slope at batch scale.
+
+    Returns (pairs int16, true_samples, planted_offsets, kinds).
+    """
+    if os.path.exists(BENCH_BATCH_CACHE):
+        try:
+            z = np.load(BENCH_BATCH_CACHE)
+            pairs = [(z[f"v{k}"], z[f"a{k}"]) for k in range(8)]
+            return (pairs, [tuple(t) for t in z["lens"]],
+                    list(z["planted"]), list(z["kinds"]))
+        except Exception:
+            pass
+    from scipy.signal import resample_poly
+    from describealign_tpu.utils.synthmedia import build_pair, speech_like
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    specs = [
+        (42, 1320.0, _narr(120.0, 150.0, 12.0, 8), 202.0),
+        (101, 1320.0, _narr(100.0, 200.0, 20.0, 6), 180.0),
+        (202, 1320.0, _narr(90.0, 125.0, 10.0, 10), 250.0),
+        (303, 1320.0, _narr(200.0, 300.0, 25.0, 4), 120.0),
+        (404, 1320.0, _narr(80.0, 160.0, 15.0, 8), 90.0),
+        (505, 810.0, _narr(62.0, 62.0, 55.0, 12), 150.0),   # ~50% sim
+        None,                                                # rate pair
+        (707, 1320.0, _narr(150.0, 250.0, 24.0, 5), 60.0),
+    ]
+    pairs, lens, planted, kinds = [], [], [], []
+    for i, spec in enumerate(specs):
+        if spec is None:
+            content = speech_like(1320.0, seed=606)
+            slowed = resample_poly(content, 103, 100)
+            lead = speech_like(180.0, seed=1606, amp=5000.0)
+            tail = speech_like(80.0, seed=2606, amp=5000.0)
+            v = to_i16(np.round(content))[None, :]
+            a = to_i16(np.round(np.concatenate([lead, slowed, tail])))[None, :]
+            pairs.append((v, a))
+            planted.append(180.0)
+            kinds.append("rate")
+        else:
+            seed, content_s, narr, lead = spec
+            v, a, _ = build_pair(content_seconds=content_s, narration=narr,
+                                 lead_in=lead, seed=seed)
+            pairs.append((to_i16(v), to_i16(a)))
+            planted.append(lead)
+            kinds.append("lowsim" if i == 5 else "plain")
+        lens.append((pairs[-1][0].shape[1], pairs[-1][1].shape[1]))
+    try:
+        np.savez(BENCH_BATCH_CACHE,
+                 **{f"v{k}": p[0] for k, p in enumerate(pairs)},
+                 **{f"a{k}": p[1] for k, p in enumerate(pairs)},
+                 lens=np.asarray(lens), planted=np.asarray(planted),
+                 kinds=np.asarray(kinds))
+    except Exception:
+        pass
+    return pairs, lens, planted, kinds
 
 
 def run_once(video_i16, audio_i16, sv, sa):
@@ -85,26 +162,18 @@ def main():
         times.append(time.time() - t)
     e2e = min(times)
 
-    # batch mode: 8 DISTINCT pairs (per-pair gain + lead-in trim -> distinct
-    # samples, lengths, and planted offsets) through the pipelined device
-    # dispatch + threaded host stages
+    # batch mode: 8 pairs with DISTINCT content seeds (incl. a ~50%-
+    # similarity member and a 3% rate-changed member) through the
+    # pipelined device dispatch + threaded host stages
     from describealign_tpu.alignment.api import align_batch_from_pcm
-    n_batch = 8
-    pairs, lens, planted = [], [], []
-    for k in range(n_batch):
-        gain = 0.6 + 0.05 * k
-        trim = 44100 * 5 * k              # drop 5k seconds of audio lead-in
-        vk = (video.astype(np.float32) * gain).astype(np.int16)
-        ak = (audio[:, trim:].astype(np.float32) * gain).astype(np.int16)
-        ak = _pad_pcm_i16(ak)
-        pairs.append((vk, ak))
-        lens.append((sv, sa - trim))
-        planted.append(202.0 - 5.0 * k)
-    # warm both possible bucket shapes (the largest trim may cross a
-    # 64-s bucket boundary) so no compile lands in the timed section
+    t0 = time.time()
+    pairs, lens, planted, kinds = build_batch_pairs()
+    batch_gen_seconds = time.time() - t0
+    # warm every bucket the batch shapes hit so no compile lands in the
+    # timed section (the 50%-similarity pair has a shorter video)
     with redirect_stdout(quiet):
-        align_batch_from_pcm([pairs[0], pairs[-1]],
-                             true_samples=[lens[0], lens[-1]])
+        align_batch_from_pcm([pairs[0], pairs[5]],
+                             true_samples=[lens[0], lens[5]])
     t = time.time()
     with redirect_stdout(quiet):
         results = align_batch_from_pcm(pairs, true_samples=lens)
@@ -114,6 +183,8 @@ def main():
     batch_offsets_ok = all(
         abs(float(r[0][0] - r[1][0]) - p) < 1.0
         for r, p in zip(results, planted))
+    lowsim_pct = float(results[kinds.index("lowsim")][2])
+    rate_slope = float(results[kinds.index("rate")][4])
 
     result = {
         "metric": "e2e_align_22min_pair_seconds",
@@ -122,6 +193,9 @@ def main():
         "vs_baseline": round(30.0 / e2e, 2),
         "batch8_audio_minutes_per_second_per_chip": round(batch_tput, 2),
         "batch8_distinct_offsets_recovered": batch_offsets_ok,
+        "batch8_lowsim_similarity_percent": round(lowsim_pct, 2),
+        "batch8_rate_pair_median_slope": round(rate_slope, 6),
+        "batch8_gen_seconds": round(batch_gen_seconds, 1),
         "similarity_percent": round(float(sim), 2),
         "recovered_start_offset_s": round(start_offset, 2),
         "planted_start_offset_s": 202.0,

@@ -42,6 +42,8 @@ def load_reference():
 
 
 def draw_scenario(rng, seed):
+    from describealign_tpu.utils.synthmedia import music_bed
+
     content_s = float(rng.uniform(60, 150))
     lead = float(rng.uniform(3.0, 25.0))
     n_skips = int(rng.integers(0, 5))
@@ -53,6 +55,23 @@ def draw_scenario(rng, seed):
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.005, 0.03))
 
     content = speech_like(content_s, seed=seed)
+    bed = "none"
+    bed_draw = rng.uniform()
+    if bed_draw < 0.35:
+        # dialog over a repetitive tonal bed: self-similar ridges under
+        # real speech structure
+        ratio = float(rng.uniform(0.4, 1.0))
+        content = content + ratio * music_bed(content_s, seed=seed + 500)
+        bed = f"under({ratio:.2f})"
+    elif bed_draw < 0.55:
+        # a pure music-bed stretch INSIDE the content (a title sequence /
+        # interlude): the worst case for on-grid fake coarse tracks
+        span = float(rng.uniform(10.0, 22.0))
+        at = float(rng.uniform(10.0, content_s - span - 10.0))
+        i0, i1 = int(at * SR), int((at + span) * SR)
+        seg = music_bed(span + 1.0, seed=seed + 600)[: i1 - i0]
+        content[i0:i0 + len(seg)] = seg
+        bed = f"insert({at:.1f}+{span:.1f}s)"
     if rate != 1.0:
         from scipy.signal import resample_poly
         num = int(round(1000 * rate))
@@ -74,7 +93,7 @@ def draw_scenario(rng, seed):
             np.int16)[None].astype(np.float16)
 
     meta = dict(content_s=content_s, lead=lead, cuts=list(np.round(cuts, 2)),
-                durs=list(np.round(durs, 2)), rate=rate)
+                durs=list(np.round(durs, 2)), rate=rate, bed=bed)
     return q(video_sig), q(audio_sig), meta
 
 
@@ -107,7 +126,64 @@ def compare(r, o):
     return float(err.max()), float(abs(float(r[2]) - float(o[2])))
 
 
+def truth_map(meta):
+    """Ground-truth audio->video mapping for a drawn scenario (nan inside
+    narration gaps)."""
+    lead = meta['lead']
+    rate = meta['rate']
+    cuts = [float(c) for c in meta['cuts']]
+    durs = [float(d) for d in meta['durs']]
+    segments = []
+    cursor_a, cursor_c = lead, 0.0
+    for cut, dur in zip(cuts, durs):
+        segments.append((cursor_a, cursor_a + (cut - cursor_c),
+                         cursor_c, cut))
+        cursor_a += (cut - cursor_c) + dur
+        cursor_c = cut
+    segments.append((cursor_a, cursor_a + (meta['content_s'] - cursor_c),
+                     cursor_c, meta['content_s']))
+
+    def f(a_times):
+        a_times = np.atleast_1d(np.asarray(a_times, float))
+        out = np.full_like(a_times, np.nan)
+        for (a0, a1, c0, c1) in segments:
+            sel = (a_times >= a0 + 0.5) & (a_times <= a1 - 0.5)
+            out[sel] = (c0 + (a_times[sel] - a0)) / rate
+        return out
+    return f
+
+
+def err_vs_truth(res, meta):
+    x, y = np.asarray(res[0], float), np.asarray(res[1], float)
+    probes = np.linspace(x[0] + 0.5, x[-1] - 0.5, 300)
+    want = truth_map(meta)(probes)
+    sel = np.isfinite(want)
+    got = np.interp(probes[sel], x, y)
+    return float(np.abs(got - want[sel]).max())
+
+
+def diag(indices):
+    """Rerun specific draw indices and score BOTH sides against ground
+    truth (usage: parity_campaign.py diag 3 4 11)."""
+    ref = load_reference()
+    import describealign_tpu as da
+    rng = np.random.default_rng(20260816)
+    for i in range(max(indices) + 1):
+        video, audio, meta = draw_scenario(rng, 500 + i)
+        if i not in indices:
+            continue
+        r, o = run_one(ref, da, video, audio)
+        map_err, sim_err = compare(r, o)
+        print(f"[{i:02d}] ref_vs_truth={err_vs_truth(r, meta):.3f}s "
+              f"ours_vs_truth={err_vs_truth(o, meta):.3f}s "
+              f"ref_sim={float(r[2]):.1f}% ours_sim={float(o[2]):.1f}% "
+              f"map_err={map_err:.3f} {meta}", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == 'diag':
+        diag({int(v) for v in sys.argv[2:]})
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     ref = load_reference()
     import describealign_tpu as da

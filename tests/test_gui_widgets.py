@@ -32,12 +32,20 @@ class _WxStub(types.ModuleType):
 
 @pytest.fixture()
 def app(monkeypatch):
+    import importlib
+
     stub = _WxStub("wx")
     monkeypatch.setitem(sys.modules, "wx", stub)
+    # force a REAL re-import under this stub: `from pkg import app` would
+    # short-circuit to the stale module left as a package attribute by an
+    # earlier test's import (its stub has different key constants)
     sys.modules.pop("describealign_tpu.gui.app", None)
-    from describealign_tpu.gui import app as app_mod
+    app_mod = importlib.import_module("describealign_tpu.gui.app")
     yield app_mod
     sys.modules.pop("describealign_tpu.gui.app", None)
+    import describealign_tpu.gui as gui_pkg
+    if hasattr(gui_pkg, "app"):
+        delattr(gui_pkg, "app")
 
 
 class FakeListBox:

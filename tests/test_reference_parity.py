@@ -199,3 +199,27 @@ def test_parity_low_similarity(ref):
     r_map = np.interp(probes, np.asarray(r[0], float), np.asarray(r[1], float))
     o_map = np.interp(probes, np.asarray(o[0], float), np.asarray(o[1], float))
     assert np.abs(r_map - o_map).max() < 0.35
+
+
+def test_parity_music_bed_short_segments(ref):
+    """Round-3 campaign regression (draws 11/25): a repetitive tonal music
+    bed under the dialog raises every coarse lane's floor score, shrinking
+    the true lane's per-block margin; ~10-s content segments between the
+    lead-in and the first skips were then corner-cut by the coarse DP's
+    jump economics (5-7 s misalignments at DP_JUMP_COST=4; fixed at 2).
+    Reproduces draw 25's structure: bed ratio 0.67, 9-s lead, skips at
+    10.3/22.6/43.0 s."""
+    from describealign_tpu.utils.synthmedia import music_bed
+    content = speech_like(62.0, seed=77) + 0.67 * music_bed(62.0, seed=577)
+    video = _quantize(content)
+    pieces = [speech_like(9.0, seed=1077, amp=5000.0),
+              content[:int(10.3 * SR)],
+              speech_like(7.1, seed=2077, amp=5000.0),
+              content[int(10.3 * SR):int(22.6 * SR)],
+              speech_like(6.6, seed=3077, amp=5000.0),
+              content[int(22.6 * SR):int(43.0 * SR)],
+              speech_like(7.1, seed=4077, amp=5000.0),
+              content[int(43.0 * SR):]]
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(10, 80, 45))
