@@ -403,19 +403,35 @@ def warmup_compile(max_minutes):
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 
+def _packed_row_words(k):
+    """int16 words per packed row of k slots (matching._pack_slots)."""
+    return k // 2 + k // 2 + (k // 4 + 1) // 2
+
+
 def _unpack_chunk(packed, k1, k2):
     """Split a streamed chunk's flat int16 buffer back into band-1
-    (u8 codes, i16 offs) at full frame rate and rescue slots at even
-    frames (matching.match_fine_chunk's layout)."""
+    (u8 codes, i16 offsets) at full frame rate and rescue slots at even
+    frames. Decodes matching._pack_slots' layout: per row, k u8 codes,
+    k u8 offset low bytes, then k/4 high-bit bytes (2 bits/slot) padded
+    to an even count."""
     c = packed.shape[0]
     blk = 210
-    n1 = blk * (k1 // 2 + k1)
-    band1 = packed[:, :n1].reshape(c, blk, k1 // 2 + k1)
-    rescue = packed[:, n1:].reshape(c, blk // 2, k2 // 2 + k2)
-    q1 = np.ascontiguousarray(band1[:, :, :k1 // 2]).view(np.uint8)
-    o1 = band1[:, :, k1 // 2:]
-    q2 = np.ascontiguousarray(rescue[:, :, :k2 // 2]).view(np.uint8)
-    o2 = rescue[:, :, k2 // 2:]
+    w1, w2 = _packed_row_words(k1), _packed_row_words(k2)
+    n1 = blk * w1
+    band1 = packed[:, :n1].reshape(c, blk, w1)
+    rescue = packed[:, n1:].reshape(c, blk // 2, w2)
+
+    def split(rows, k):
+        by = np.ascontiguousarray(rows).view(np.uint8)
+        q = by[:, :, :k]
+        lo = by[:, :, k:2 * k].astype(np.int16)
+        hi = by[:, :, 2 * k:2 * k + (k + 3) // 4]
+        j = np.arange(k)
+        hi_bits = ((hi[:, :, j // 4] >> (2 * (j % 4))) & 3).astype(np.int16)
+        return q, lo | (hi_bits << 8)
+
+    q1, o1 = split(band1, k1)
+    q2, o2 = split(rescue, k2)
     return q1, o1, q2, o2
 
 

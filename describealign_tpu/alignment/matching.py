@@ -523,19 +523,37 @@ def match_fine_chunk(ms_a, norms_a, a_mask, ms_v, norms_v, v_mask,
                                   ms_v, norms_v, v_mask,
                                   starts_chunk, b0, FINE_CHUNK, nb_valid)
     # ONE flat buffer per chunk (each pull pays ~26 ms of round trip), in
-    # the split layout: band-1 slots (u8 codes | i16 offs) at full frame
-    # rate, rescue slots for EVEN frames only (odd frames are zero by
-    # construction - the rescue bands sample every 2nd frame). u8 + split
-    # together cut the candidate payload 44% vs f16 full-rate.
-    def pack(q, o):
-        c, blk, k = q.shape
-        codes16 = jax.lax.bitcast_convert_type(
-            _qual_quantize_u8(q).reshape(c, blk, k // 2, 2), jnp.int16)
-        return jnp.concatenate([codes16, o], axis=2).reshape(c, -1)
-
-    band1 = pack(quals[:, :, :TOP_K], offs[:, :, :TOP_K])
-    rescue = pack(quals[:, ::2, TOP_K:], offs[:, ::2, TOP_K:])
+    # the split layout: band-1 slots at full frame rate, rescue slots for
+    # EVEN frames only (odd frames are zero by construction - the rescue
+    # bands sample every 2nd frame). Each slot crosses as ONE u8 quality
+    # code plus a 10-bit offset (low byte + 2 packed high bits): the
+    # in-band offsets span [0, 767], so i16 transport wasted 6 bits per
+    # slot - the packed layout cuts the candidate payload another 23%.
+    band1 = _pack_slots(quals[:, :, :TOP_K], offs[:, :, :TOP_K])
+    rescue = _pack_slots(quals[:, ::2, TOP_K:], offs[:, ::2, TOP_K:])
     return jnp.concatenate([band1, rescue], axis=1)
+
+
+def _pack_slots(q, o):
+    """(C, rows, k) qualities/offsets -> (C, rows * words) int16 transport
+    words: k u8 codes, k u8 offset low bytes, then k/4 high-bit bytes
+    (2 bits per slot, slot j in byte j//4 at bit 2*(j%4)) padded to an
+    even byte count. Mirrored by dp.cpp lis_stream_feed_packed and
+    api._unpack_chunk."""
+    c, rows, k = q.shape
+    codes16 = jax.lax.bitcast_convert_type(
+        _qual_quantize_u8(q).reshape(c, rows, k // 2, 2), jnp.int16)
+    o = o.astype(jnp.int32)
+    lo16 = jax.lax.bitcast_convert_type(
+        (o & 255).astype(jnp.uint8).reshape(c, rows, k // 2, 2), jnp.int16)
+    shifts = jnp.array([1, 4, 16, 64], jnp.int32)       # 1 << (2*(j%4))
+    hi_b = jnp.sum(((o >> 8) & 3).reshape(c, rows, k // 4, 4) * shifts,
+                   axis=3).astype(jnp.uint8)            # (C, rows, k/4)
+    if hi_b.shape[2] % 2:
+        hi_b = jnp.pad(hi_b, ((0, 0), (0, 0), (0, 1)))
+    hi16 = jax.lax.bitcast_convert_type(
+        hi_b.reshape(c, rows, hi_b.shape[2] // 2, 2), jnp.int16)
+    return jnp.concatenate([codes16, lo16, hi16], axis=2).reshape(c, -1)
 
 
 def match_stream(dev_a, len_a, dev_v, len_v):

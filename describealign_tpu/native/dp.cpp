@@ -411,19 +411,26 @@ int lis_stream_feed_split(void* ctx, const uint8_t* q1, const int16_t* o1,
 }
 
 // lis_stream_feed straight off the device chunk's packed int16 transport
-// buffer (matching.match_fine_chunk's layout), so the host feeds chunks
-// with ZERO intermediate copies. Per block row: band-1 frames at full rate
-// (each frame: k1/2 int16 words holding k1 u8 quality codes, then k1 int16
-// offsets), then rescue rows for even frames only (k2/2 code words + k2
-// offsets each). Byte order of the code words matches the device's
-// u8->i16 bitcast as materialized on the (little-endian) host, i.e. the
-// same bytes numpy's .view(np.uint8) yields - semantics identical to
-// lis_stream_feed_split on the unpacked arrays.
+// buffer (matching._pack_slots' layout), so the host feeds chunks with
+// ZERO intermediate copies. Per block row: band-1 frames at full rate,
+// then rescue rows for even frames only. Each row of k slots is laid out
+// as k u8 quality codes, k u8 offset LOW bytes, then k/4 high-bit bytes
+// (2 bits per slot: slot j in byte j/4 at bit 2*(j%4)) padded to an even
+// byte count - the in-band offsets span [0, 767], i.e. 10 bits. Byte
+// order matches the device's u8->i16 bitcast as materialized on the
+// (little-endian) host; semantics identical to lis_stream_feed_split on
+// the unpacked arrays.
+namespace {
+inline int64_t packed_row_words(int64_t k) {
+  return k / 2 + k / 2 + (k / 4 + 1) / 2;
+}
+}  // namespace
+
 int lis_stream_feed_packed(void* ctx, const int16_t* packed,
                            const int32_t* starts, int64_t nb, int64_t blk,
                            int64_t k1, int64_t k2, int64_t n_groups,
                            int64_t a_base) {
-  if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 2 != 0 || k2 % 2 != 0)
+  if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 4 != 0 || k2 % 4 != 0)
     return 1;
   if (blk % 2 != 0) return 1;
   if (n_groups == 2 ? k2 != 0 : k2 % (n_groups - 2) != 0) return 1;
@@ -431,8 +438,8 @@ int lis_stream_feed_packed(void* ctx, const int16_t* packed,
   LisStream& st = *static_cast<LisStream*>(ctx);
   const int64_t k1_per_group = k1 / 2;
   const int64_t k2_per_group = (n_groups > 2) ? k2 / (n_groups - 2) : k2;
-  const int64_t row1 = k1 / 2 + k1;          // i16 words per band-1 frame
-  const int64_t row2 = k2 / 2 + k2;          // i16 words per rescue row
+  const int64_t row1 = packed_row_words(k1);
+  const int64_t row2 = packed_row_words(k2);
   const int64_t n1 = blk * row1;             // band-1 words per block
   const int64_t rowlen = n1 + (blk / 2) * row2;
   Cand cands[64];
@@ -441,22 +448,32 @@ int lis_stream_feed_packed(void* ctx, const int16_t* packed,
     const int16_t* prow = packed + b * rowlen;
     for (int64_t l = 0; l < blk; ++l) {
       int m = 0;
-      const int16_t* f1 = prow + l * row1;
-      const uint8_t* q1 = reinterpret_cast<const uint8_t*>(f1);
-      const int16_t* o1 = f1 + k1 / 2;
+      const uint8_t* f1 =
+          reinterpret_cast<const uint8_t*>(prow + l * row1);
+      const uint8_t* lo1 = f1 + k1;
+      const uint8_t* hi1 = f1 + 2 * k1;
       for (int64_t j = 0; j < k1; ++j) {
-        if (q1[j])
-          cand_add(cands, m, base[j / k1_per_group] + o1[j],
-                   static_cast<double>(table[q1[j]]));
+        if (f1[j]) {
+          const int64_t off = lo1[j]
+              | ((static_cast<int64_t>(hi1[j >> 2] >> (2 * (j & 3))) & 3)
+                 << 8);
+          cand_add(cands, m, base[j / k1_per_group] + off,
+                   static_cast<double>(table[f1[j]]));
+        }
       }
       if ((l & 1) == 0 && k2 > 0) {
-        const int16_t* f2 = prow + n1 + (l / 2) * row2;
-        const uint8_t* q2 = reinterpret_cast<const uint8_t*>(f2);
-        const int16_t* o2 = f2 + k2 / 2;
+        const uint8_t* f2 = reinterpret_cast<const uint8_t*>(
+            prow + n1 + (l / 2) * row2);
+        const uint8_t* lo2 = f2 + k2;
+        const uint8_t* hi2 = f2 + 2 * k2;
         for (int64_t j = 0; j < k2; ++j) {
-          if (q2[j])
-            cand_add(cands, m, base[2 + j / k2_per_group] + o2[j],
-                     static_cast<double>(table[q2[j]]));
+          if (f2[j]) {
+            const int64_t off = lo2[j]
+                | ((static_cast<int64_t>(hi2[j >> 2] >> (2 * (j & 3))) & 3)
+                   << 8);
+            cand_add(cands, m, base[2 + j / k2_per_group] + off,
+                     static_cast<double>(table[f2[j]]));
+          }
         }
       }
       if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;

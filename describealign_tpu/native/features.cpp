@@ -193,6 +193,121 @@ void small_w_blur(const float* x, const int16_t* xi, int ds, int blur,
   }
 }
 
+#ifdef DA_AVX512
+// ds=5/blur=3 stage-0 specialization (the full-rate 44.1 kHz pass, by far
+// the extractor's hottest loop). The general small_w_blur deinterleaves
+// phases with i32 gathers, which run at microcode speed on hosts with
+// gather mitigations (measured ~25-40 cycles/output on the bench VM).
+// Here each stride-5 tap vector is built from six contiguous ZMM loads by
+// two-source lane permutes + blends (~5 cycles/output), the 15-tap FMA
+// chain runs on the same registers, and the band-energy residual reuses
+// taps 5..9 (exactly the x[5j+p] samples). Same math as the general path
+// within f32 reorder (oracle tests carry 5e-5 tolerance).
+void small_w_blur5_i16(const int16_t* xi, int64_t no,
+                       const std::vector<float>& w, float* out,
+                       float* band_energy) {
+  static __m512i kIdx[15][3];
+  static __mmask16 kM01[15], kM23[15];
+  static const bool init = [] {
+    for (int d = 0; d < 15; ++d) {
+      alignas(64) int a0[16], a1[16], a2[16];
+      uint16_t m01 = 0, m23 = 0;
+      for (int lane = 0; lane < 16; ++lane) {
+        const int q = 5 * lane + d;       // flat offset of this lane's tap
+        a0[lane] = q & 31;
+        a1[lane] = (q - 32) & 31;
+        a2[lane] = (q - 64) & 31;
+        if (q < 32) m01 |= static_cast<uint16_t>(1) << lane;
+        else if (q < 64) m23 |= static_cast<uint16_t>(1) << lane;
+      }
+      kIdx[d][0] = _mm512_load_si512(a0);
+      kIdx[d][1] = _mm512_load_si512(a1);
+      kIdx[d][2] = _mm512_load_si512(a2);
+      kM01[d] = m01;
+      kM23[d] = m23;
+    }
+    return true;
+  }();
+  (void)init;
+  const int64_t m = no * 5;
+  const float* lut = f16_lut();
+  float wv[15];
+  for (int d = 0; d < 15; ++d) wv[d] = w[static_cast<size_t>(d)];
+
+  auto scalar_one = [&](int64_t j) {
+    const int64_t base = 5 * j - 5;       // 5*(j + c - blur + 1), c=1
+    float s = 0.f;
+    for (int d = 0; d < 15; ++d) {
+      const int64_t q = base + d;
+      if (q >= 0 && q < m)
+        s += wv[d] * lut[static_cast<uint16_t>(xi[q])];
+    }
+    out[j] = s;
+    if (band_energy) {
+      float be = 0.f;
+      for (int p = 0; p < 5; ++p) {
+        const float dph = lut[static_cast<uint16_t>(xi[5 * j + p])] - s;
+        be += dph * dph;
+      }
+      band_energy[j] = be;
+    }
+  };
+
+  int64_t j = 0;
+  const int64_t last_start = no - 32;   // last 16-wide block start: its
+                                        // top lane reads sample 5*no-1
+  for (; j < 16 && j < no; ++j) scalar_one(j);
+  const int64_t BLK = 4096;
+  std::vector<float> buf(static_cast<size_t>(5 * BLK + 176));
+  for (int64_t jb = 16; jb <= last_start; jb += BLK) {
+    const int64_t jend_blk =
+        (jb + BLK <= last_start + 1) ? (jb + BLK) : (last_start + 1);
+    // highest block start actually issued in this BLK span
+    const int64_t jj_last = jb + ((jend_blk - 1 - jb) / 16) * 16;
+    const int64_t s_lo = 5 * jb - 5;
+    const int64_t s_hi = 5 * (jj_last + 15) + 85;    // exclusive, <= m
+    float* cb = buf.data();
+    int64_t s = s_lo;
+    for (; s + 16 <= s_hi; s += 16)
+      _mm512_storeu_ps(cb + (s - s_lo), cvt_i16_f16grid(
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(xi + s))));
+    for (; s < s_hi; ++s)
+      cb[s - s_lo] = lut[static_cast<uint16_t>(xi[s])];
+    for (int64_t jj = jb; jj <= jj_last; jj += 16) {
+      const float* p = cb + (5 * jj - 5 - s_lo);
+      const __m512 r0 = _mm512_loadu_ps(p);
+      const __m512 r1 = _mm512_loadu_ps(p + 16);
+      const __m512 r2 = _mm512_loadu_ps(p + 32);
+      const __m512 r3 = _mm512_loadu_ps(p + 48);
+      const __m512 r4 = _mm512_loadu_ps(p + 64);
+      const __m512 r5 = _mm512_loadu_ps(p + 80);
+      __m512 acc = _mm512_setzero_ps();
+      __m512 vp[5];
+      for (int d = 0; d < 15; ++d) {
+        __m512 v01 = _mm512_permutex2var_ps(r0, kIdx[d][0], r1);
+        __m512 v23 = _mm512_permutex2var_ps(r2, kIdx[d][1], r3);
+        __m512 v45 = _mm512_permutex2var_ps(r4, kIdx[d][2], r5);
+        __m512 v = _mm512_mask_blend_ps(kM23[d], v45, v23);
+        v = _mm512_mask_blend_ps(kM01[d], v, v01);
+        if (d >= 5 && d < 10) vp[d - 5] = v;
+        acc = _mm512_fmadd_ps(_mm512_set1_ps(wv[d]), v, acc);
+      }
+      _mm512_storeu_ps(out + jj, acc);
+      if (band_energy) {
+        __m512 be = _mm512_setzero_ps();
+        for (int pp = 0; pp < 5; ++pp) {
+          const __m512 dph = _mm512_sub_ps(vp[pp], acc);
+          be = _mm512_fmadd_ps(dph, dph, be);
+        }
+        _mm512_storeu_ps(band_energy + jj, be);
+      }
+      j = jj + 16;
+    }
+  }
+  for (; j < no; ++j) scalar_one(j);
+}
+#endif
+
 // np.convolve(x, taps, mode='same'): zero-padded, center (t-1)/2.
 // Tap-major shift-and-add: each tap contributes one contiguous
 // vectorizable pass, so the compiler's auto-vectorizer gets clean loops.
@@ -245,6 +360,13 @@ void downsample_blur(const float* x, int64_t n, int ds, int blur,
 
   if (band_energy) band_energy->resize(static_cast<size_t>(no));
   if (W <= 64 && no >= 1024) {
+#ifdef DA_AVX512
+    if (xi && ds == 5 && blur == 3) {
+      small_w_blur5_i16(xi, no, w, out.data(),
+                        band_energy ? band_energy->data() : nullptr);
+      return;
+    }
+#endif
     small_w_blur(x, xi, ds, blur, no, w, out.data(),
                  band_energy ? band_energy->data() : nullptr);
     return;

@@ -144,13 +144,24 @@ def test_feed_split_equals_full_rate_feed():
     np.testing.assert_array_equal(a1, a2)
 
     # feed_packed on the wire-format int16 buffer (the exact layout
-    # match_fine_chunk emits: band-1 code words + offsets per frame, then
-    # even-frame rescue rows) == feed_split on the unpacked arrays
+    # matching._pack_slots emits: per row, k u8 codes + k offset low
+    # bytes + packed 2-bit highs; band-1 frames then even-frame rescue
+    # rows) == feed_split on the unpacked arrays. Also cross-checked
+    # against the device packer + api._unpack_chunk below.
+    import jax.numpy as jnp2
+    from describealign_tpu.alignment import api
+
     def pack_np(codes, offs_):
-        nb_, blk_, k_ = codes.shape
-        cw = np.ascontiguousarray(
-            codes.reshape(nb_, blk_, k_ // 2, 2)).view(np.int16)[..., 0]
-        return np.concatenate([cw, offs_], axis=2).reshape(nb_, -1)
+        nb_, rows_, k_ = codes.shape
+        by = np.zeros((nb_, rows_, 2 * k_ + 2 * ((k_ // 4 + 1) // 2)),
+                      np.uint8)
+        by[:, :, :k_] = codes
+        by[:, :, k_:2 * k_] = (offs_ & 255).astype(np.uint8)
+        for j in range(k_):
+            by[:, :, 2 * k_ + j // 4] |= (
+                ((offs_[:, :, j].astype(np.int32) >> 8) & 3)
+                << (2 * (j % 4))).astype(np.uint8)
+        return by.view(np.int16).reshape(nb_, -1)
 
     packed = np.concatenate(
         [pack_np(c1, o1), pack_np(c2[:, ::2, :], o2[:, ::2, :])], axis=1)
@@ -159,6 +170,21 @@ def test_feed_split_equals_full_rate_feed():
         v3, a3 = s3.finish()
     np.testing.assert_array_equal(v1, v3)
     np.testing.assert_array_equal(a1, a3)
+
+    # the device packer produces this exact buffer, and _unpack_chunk
+    # inverts it
+    dev_packed = np.asarray(matching._pack_slots(jnp2.asarray(q1),
+                                                 jnp2.asarray(o1)))
+    np.testing.assert_array_equal(dev_packed, pack_np(c1, o1))
+    full = np.concatenate([dev_packed,
+                           np.asarray(matching._pack_slots(
+                               jnp2.asarray(q2[:, ::2, :]),
+                               jnp2.asarray(o2[:, ::2, :])))], axis=1)
+    uq1, uo1, uq2, uo2 = api._unpack_chunk(full, k1, k2)
+    np.testing.assert_array_equal(uq1, c1)
+    np.testing.assert_array_equal(uo1, o1)
+    np.testing.assert_array_equal(uq2, c2[:, ::2, :])
+    np.testing.assert_array_equal(uo2, o2[:, ::2, :])
 
 
 def random_points(rng, n_audio=1200, n_video=1300, n_clusters=4):
