@@ -162,14 +162,22 @@ def err_vs_truth(res, meta):
     return float(np.abs(got - want[sel]).max())
 
 
-def diag(indices):
+def _content_seed_base(camp_seed):
+    # the original campaign (seed 20260816) used content seeds 500+i; new
+    # campaign seeds shift the base so draws differ in BOTH the rng stream
+    # and the synthesized content
+    return 500 if camp_seed == 20260816 else camp_seed % 100000 + 500
+
+
+def diag(indices, camp_seed=20260816):
     """Rerun specific draw indices and score BOTH sides against ground
-    truth (usage: parity_campaign.py diag 3 4 11)."""
+    truth (usage: parity_campaign.py diag [seed=N] 3 4 11)."""
     ref = load_reference()
     import describealign_tpu as da
-    rng = np.random.default_rng(20260816)
+    rng = np.random.default_rng(camp_seed)
+    base = _content_seed_base(camp_seed)
     for i in range(max(indices) + 1):
-        video, audio, meta = draw_scenario(rng, 500 + i)
+        video, audio, meta = draw_scenario(rng, base + i)
         if i not in indices:
             continue
         r, o = run_one(ref, da, video, audio)
@@ -182,15 +190,22 @@ def diag(indices):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == 'diag':
-        diag({int(v) for v in sys.argv[2:]})
+        rest = sys.argv[2:]
+        camp_seed = 20260816
+        if rest and rest[0].startswith('seed='):
+            camp_seed = int(rest[0][5:])
+            rest = rest[1:]
+        diag({int(v) for v in rest}, camp_seed)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    camp_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
     ref = load_reference()
     import describealign_tpu as da
-    rng = np.random.default_rng(20260816)
+    rng = np.random.default_rng(camp_seed)
+    base = _content_seed_base(camp_seed)
     worst = []
     for i in range(n):
-        video, audio, meta = draw_scenario(rng, 500 + i)
+        video, audio, meta = draw_scenario(rng, base + i)
         t = time.time()
         try:
             r, o = run_one(ref, da, video, audio)
