@@ -185,7 +185,7 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
                         fit_backend)
 
 
-def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
+def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
                          host_workers=None, true_samples=None, mesh=None):
     """Batch fast path: list of (video_pcm_i16, audio_pcm_i16) pairs.
 
@@ -267,13 +267,21 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=2,
 
 
 def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
-                          device_depth=2):
+                          device_depth=4):
     """Batch via the streaming matcher: the main thread extracts features
     and dispatches pair i+1's device work while worker threads consume
     pair i's chunks (D2H pulls, the C++ LIS, and the refinement tail all
     release the GIL, so a single-core host still overlaps its CPU work
     with the link and the device). In-flight pairs are bounded by
-    device_depth (+1 being consumed) to cap HBM and host memory."""
+    device_depth (+1 being consumed) to cap HBM and host memory.
+
+    Unlike the latency-oriented single-pair path (which pulls chunks as
+    they finish so the LIS can start early), throughput mode concatenates
+    every chunk ON DEVICE and pulls one buffer per pair: each pull pays a
+    ~26 ms round trip on the tunneled link before bandwidth, so 1 pull
+    beats n_chunks pulls whenever other pairs' CPU work can hide the
+    transfer - which is exactly the batch regime. Byte-identical input to
+    the LIS either way (split-feed equivalence is native-layer-tested)."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -281,9 +289,9 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     results = [None] * b
     in_flight = threading.Semaphore(max(2, device_depth + 1))
 
-    def consume(chunks, starts_dev, fa, fv, na, nv):
+    def consume(packed_dev, starts_dev, fa, fv, na, nv):
         try:
-            y, x = _consume_stream((np.asarray(ch) for ch in chunks),
+            y, x = _consume_stream(iter([np.asarray(packed_dev)]),
                                    np.asarray(starts_dev))
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
@@ -304,7 +312,9 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 dev_a = jax.device_put(fa.astype(np.float16))
                 chunks, starts_dev, _ = matching.match_stream(dev_a, na,
                                                               dev_v, nv)
-                futs.append((i, pool.submit(consume, chunks, starts_dev,
+                packed_dev = (chunks[0] if len(chunks) == 1
+                              else matching.concat_chunks(chunks))
+                futs.append((i, pool.submit(consume, packed_dev, starts_dev,
                                             fa, fv, na, nv)))
             except BaseException:
                 # a failing dispatch must not leak its semaphore slot;
@@ -446,8 +456,9 @@ def _qual_dequant_np(code_u8):
 def _consume_stream(packed_iter, starts_tracks):
     """Feed streamed chunk buffers (numpy, in audio order) into a fresh
     C++ LIS and return the (video_path, audio_path) chain. Shared by the
-    single-pair and batch streaming paths."""
-    cb = matching.FINE_CHUNK
+    single-pair and batch streaming paths. Chunks may carry any number of
+    blocks (256-block streaming pieces, or one whole-media buffer from the
+    batch path's single-pull transport)."""
     # grouped starts for the LIS: band 1 twice (half-spans) + rescues
     starts_grouped = np.stack(
         [starts_tracks[0], starts_tracks[0]] + list(starts_tracks[1:]),
@@ -483,9 +494,12 @@ def _consume_stream(packed_iter, starts_tracks):
         offs = np.concatenate(offs_all)
         return lis.lis_from_match(quals, offs, starts_grouped[:len(quals)])
     with ctx:
-        for c, packed in enumerate(packed_iter):
-            ctx.feed_packed(packed, starts_grouped[c * cb:(c + 1) * cb],
-                            a_base=c * cb * 210, blk=210, k1=k1, k2=k2)
+        row = 0
+        for packed in packed_iter:
+            nblk = packed.shape[0]
+            ctx.feed_packed(packed, starts_grouped[row:row + nblk],
+                            a_base=row * 210, blk=210, k1=k1, k2=k2)
+            row += nblk
         return ctx.finish()
 
 

@@ -556,6 +556,14 @@ def _pack_slots(q, o):
     return jnp.concatenate([codes16, lo16, hi16], axis=2).reshape(c, -1)
 
 
+@jax.jit
+def concat_chunks(chunks):
+    """Concatenate streamed chunk buffers on device into one (B_pad, W)
+    transport array so the host pays a single D2H round trip. Retraces
+    per chunk count - bounded by the handful of length buckets."""
+    return jnp.concatenate(chunks, axis=0)
+
+
 def match_stream(dev_a, len_a, dev_v, len_v):
     """Dispatch the full streaming matcher. Returns (chunk_outputs,
     starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is
