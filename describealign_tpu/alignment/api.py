@@ -114,10 +114,20 @@ def host_features_padded(pcm_i16, true_samples=None, npad=None):
     from ..ops.host_features import extract_features_host
     true_samples = true_samples or pcm_i16.shape[1]
     n = int(true_samples) // 210
-    fs = extract_features_host(pcm_i16, true_samples)
     if npad is None:
         npad = _bucket_pad(n)
-    out = np.zeros((5, npad), np.float32)
+    # hand the (5, npad) target straight to the native extractor when the
+    # bucket padding can hold every stream (saves a ~7 MB copy per stream
+    # on the shared host core); streams may overhang n by 1-2 frames, so
+    # re-zero [n:] to keep the padding contract bit-identical
+    out = np.zeros((5, max(npad, n + 3)), np.float32)
+    fs = extract_features_host(pcm_i16, true_samples, out=out)
+    if fs and len(fs[0]) and fs[0].base is out:
+        out[:, n:] = 0.0
+        return (out if out.shape[1] == npad else out[:, :npad]), n
+    out = out[:, :npad]
+    if out.base is not None:
+        out = np.ascontiguousarray(out)
     for j, f in enumerate(fs):
         k = min(len(f), n)
         out[j, :k] = f[:k]

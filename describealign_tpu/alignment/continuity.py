@@ -11,13 +11,36 @@ Reference semantics:
 These run on the compressed match path (thousands of points) - host numpy
 is the right tool; there is nothing here for the TPU.
 """
+import ctypes
+
 import numpy as np
 
 from ..ops.windows import hann_window
+from .native import native_lib
 from .preprocess import SAMPLES_PER_NODE
 
 _HALF = SAMPLES_PER_NODE // 2          # 10
 _FIT_DELAY = SAMPLES_PER_NODE + _HALF - 2  # 29
+
+
+def _conv(x, taps, mode):
+    """np.convolve(x, taps, mode) for f64 data via the native tap-major
+    kernel (~4x numpy's scalar correlate loop on media-length paths);
+    numpy fallback when the library is unavailable."""
+    lib = native_lib()
+    if lib is not None and hasattr(lib, 'conv_f64'):
+        x = np.ascontiguousarray(x, np.float64)
+        taps = np.ascontiguousarray(taps, np.float64)
+        same = 1 if mode == 'same' else 0
+        out = np.empty(len(x) if same else len(x) - len(taps) + 1)
+        if len(out) > 0 and lib.conv_f64(
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ctypes.c_longlong(len(x)),
+                taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ctypes.c_longlong(len(taps)), ctypes.c_int(same),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))) == 0:
+            return out
+    return np.convolve(x, taps, mode=mode)
 
 
 def _half_hann_taps():
@@ -36,13 +59,13 @@ def get_continuity_err(x, y, deriv=False):
     def diff_by(arr, offset=_HALF):
         return arr[offset:] - arr[:-offset]
 
-    x_fut = np.convolve(x, taps, mode='valid')
-    y_fut = np.convolve(y, taps, mode='valid')
+    x_fut = _conv(x, taps, 'valid')
+    y_fut = _conv(y, taps, 'valid')
     slopes_fut = diff_by(y_fut) / diff_by(x_fut)
     offsets_fut = y_fut[:-_HALF] - x_fut[:-_HALF] * slopes_fut
 
-    x_past = np.convolve(x, taps[::-1], mode='valid')
-    y_past = np.convolve(y, taps[::-1], mode='valid')
+    x_past = _conv(x, taps[::-1], 'valid')
+    y_past = _conv(y, taps[::-1], 'valid')
     slopes_past = diff_by(y_past) / diff_by(x_past)
     offsets_past = y_past[_HALF:] - x_past[_HALF:] * slopes_past
 
@@ -65,7 +88,9 @@ def _smooth_mean(arr):
     """41-tap hann local mean (reference get_mean, 596-599)."""
     w = hann_window(2 * SAMPLES_PER_NODE + 1)[1:-1]
     w = w / np.sum(w)
-    return np.convolve(w, np.asarray(arr, np.float64), mode='same')[:len(arr)]
+    # np.convolve is commutative and 'same' keeps the longer length, so
+    # (arr, w) ordering matches the reference's (w, arr) call exactly
+    return _conv(np.asarray(arr, np.float64), w, 'same')[:len(arr)]
 
 
 def compress_path(x, y, run=70, err_threshold=3.0):

@@ -100,6 +100,8 @@ def native_lib():
             lib.refine_offset_stats.restype = ctypes.c_int
             lib.tv1d_weighted.restype = ctypes.c_int
             lib.extract_features_i16.restype = ctypes.c_int
+            lib.conv_f64.restype = ctypes.c_int
+            lib.round_decimals6_f64.restype = ctypes.c_int
             lib.pv_phase_lock.restype = ctypes.c_int
             _LIB = lib
         except Exception:

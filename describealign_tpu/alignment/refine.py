@@ -19,12 +19,32 @@ The dense scoring in step 3 is vectorized numpy (it can move to JAX);
 the cluster bookkeeping and DP are host-side (native C++ planned), as the
 data structures are inherently irregular.
 """
+import ctypes
 from collections import defaultdict
 
 import numpy as np
 from sortedcontainers import SortedList
 
+from .native import native_lib
+
 EXTEND_RADIUS = 210 * 30
+
+
+def _round6(arr):
+    """Per-element Python round(v, 6) semantics (correctly-rounded decimal,
+    half-to-even on decimal ties - np.round's scale-and-round can differ on
+    ties, drifting cluster keys). The native twin formats+parses via glibc's
+    correctly-rounded %.6f/strtod; the fallback is the Python builtin."""
+    lib = native_lib()
+    if lib is not None and hasattr(lib, 'round_decimals6_f64'):
+        arr = np.ascontiguousarray(arr, np.float64)
+        out = np.empty_like(arr)
+        if lib.round_decimals6_f64(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ctypes.c_longlong(arr.size),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))) == 0:
+            return out.tolist()
+    return [round(v, 6) for v in arr.tolist()]
 
 
 def build_line_clusters(smooth_path, slopes):
@@ -38,11 +58,12 @@ def build_line_clusters(smooth_path, slopes):
     # stays point-major like the reference (merge tests read endpoints)
     ks = []
     for s_arr in (slopes_plus_ends[:n], slopes_plus_ends[1:n + 1]):
-        # python round(): correctly-rounded decimal semantics (np.round's
-        # scale-and-round can differ on ties, drifting cluster keys)
-        ks.append(([round(v, 6) for v in s_arr.tolist()],
-                   [int(round(v, 0))
-                    for v in (py_arr - s_arr * px_arr).tolist()],
+        # int(round(v, 0)) == np.rint: ndigits=0 midpoints (x.5) are dyadic,
+        # so binary half-to-even IS decimal half-to-even - no decimal-
+        # correctness caveat like the slope key's round(v, 6)
+        ks.append((_round6(s_arr),
+                   np.rint(py_arr - s_arr * px_arr).astype(
+                       np.int64).tolist(),
                    ((s_arr >= .1) & (s_arr <= 10)).tolist()))
     colinear = defaultdict(list)
     pts = list(zip(px_arr.tolist(), py_arr.tolist()))

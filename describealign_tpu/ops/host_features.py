@@ -79,7 +79,7 @@ def _numpy_features(pcm_f16):
     return [energy, zcr] + bands
 
 
-def extract_features_host(pcm_i16, true_samples=None):
+def extract_features_host(pcm_i16, true_samples=None, out=None):
     """5 feature streams at 210fps from int16 PCM, on the host CPU.
 
     pcm_i16: (channels, samples) int16 (may carry bucket padding);
@@ -89,6 +89,11 @@ def extract_features_host(pcm_i16, true_samples=None):
 
     Returns a list of 5 float32 arrays (lengths may differ by one frame
     between streams, like the reference).
+
+    out: optional caller-zeroed C-contiguous (5, stride) f32 buffer with
+    stride >= s//210 + 2; the native extractor then writes the streams
+    in place (no intermediate allocation/copy) and the returned arrays
+    are row views into it.
     """
     c, s = pcm_i16.shape
     if true_samples is not None:
@@ -107,15 +112,23 @@ def extract_features_host(pcm_i16, true_samples=None):
 
     lib = native_lib()
     if lib is not None and hasattr(lib, 'extract_features_i16'):
-        stride = s // 210 + 2
-        out = np.zeros((5, stride), np.float32)
+        min_stride = s // 210 + 2
+        if (out is not None and out.shape[0] == 5
+                and out.shape[1] >= min_stride
+                and out.dtype == np.float32
+                and out.flags['C_CONTIGUOUS']):
+            buf, stride = out, out.shape[1]
+        else:
+            buf, stride = np.zeros((5, min_stride), np.float32), min_stride
         lens = np.zeros(5, np.int64)
         rc = lib.extract_features_i16(
             pcm_i16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             ctypes.c_int64(c), ctypes.c_int64(s),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_int64(stride),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         if rc == 0:
-            return [out[j, :lens[j]] for j in range(5)]
+            return [buf[j, :lens[j]] for j in range(5)]
+        if buf is out:
+            out[:] = 0.0          # failed write must not leave partial rows
     return _numpy_features(pcm_i16.astype(np.float16))
