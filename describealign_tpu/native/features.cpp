@@ -91,13 +91,40 @@ const float* f16_lut() {
 }
 
 #ifdef DA_AVX512
-// 16 int16 -> f32 -> f16 -> f32 in registers: the convert pair IS
-// round-to-nearest-even onto the f16 grid (replaces the 64K-LUT gather)
+// 16 int16 -> f32 on the f16 grid, in registers (replaces the 64K-LUT
+// gather). Rounding to f16 = keeping the top 10 f32 mantissa bits with
+// round-to-nearest-even, done as integer bit math on the f32 pattern:
+// bits += 0xFFF + lsb(kept), clear low 13. Exact for every int16 input
+// (all land in f16's normal range; a mantissa carry rolls into the
+// exponent correctly, the sign bit is unreachable). The previous
+// cvtps_ph/cvtph_ps round trip was correct too but stacked 3 port-5
+// convert uops per vector - this spreads across the integer ports
+// (exhaustively verified against the scalar f16_grid in tests).
 inline __m512 cvt_i16_f16grid(__m256i v16) {
-  __m512 f = _mm512_cvtepi32_ps(_mm512_cvtepi16_epi32(v16));
-  return _mm512_cvtph_ps(_mm512_cvtps_ph(f, _MM_FROUND_TO_NEAREST_INT));
+  const __m512i b = _mm512_castps_si512(
+      _mm512_cvtepi32_ps(_mm512_cvtepi16_epi32(v16)));
+  const __m512i rnd = _mm512_add_epi32(
+      _mm512_set1_epi32(0xFFF),
+      _mm512_and_si512(_mm512_srli_epi32(b, 13), _mm512_set1_epi32(1)));
+  return _mm512_castsi512_ps(_mm512_and_si512(
+      _mm512_add_epi32(b, rnd), _mm512_set1_epi32(~0x1FFF)));
 }
 #endif
+
+// The flattened-FIR weight permutation of downsample_blur (see there):
+// w[d - lo] = taps[2*(d mod ds) - d] with lo = -ds*(blur-1), so the
+// per-phase 'same' convolutions collapse into one plain strided FIR.
+std::vector<float> blur_w(int ds, int blur) {
+  const int W = ds * blur;
+  const int lo = -ds * (blur - 1);
+  std::vector<float> taps = hann_taps(ds * blur + 2);
+  std::vector<float> w(static_cast<size_t>(W));
+  for (int d = lo; d < ds; ++d) {
+    int i = ((d % ds) + ds) % ds;
+    w[static_cast<size_t>(d - lo)] = taps[static_cast<size_t>(2 * i - d)];
+  }
+  return w;
+}
 
 // Small-W polyphase blur (the blur=3 full-rate stages): a dot per output
 // never fills the vector units (the 15-21 tap window is shorter than two
@@ -194,117 +221,176 @@ void small_w_blur(const float* x, const int16_t* xi, int ds, int blur,
 }
 
 #ifdef DA_AVX512
-// ds=5/blur=3 stage-0 specialization (the full-rate 44.1 kHz pass, by far
-// the extractor's hottest loop). The general small_w_blur deinterleaves
+// blur=3 strided-FIR template (stage 0: ds=5 over 44.1 kHz int16 PCM,
+// stage 1: ds=7 over the 8.8 kHz f32 stage-0 output - together the
+// extractor's two hottest loops). The general small_w_blur deinterleaves
 // phases with i32 gathers, which run at microcode speed on hosts with
 // gather mitigations (measured ~25-40 cycles/output on the bench VM).
-// Here each stride-5 tap vector is built from six contiguous ZMM loads by
-// two-source lane permutes + blends (~5 cycles/output), the 15-tap FMA
-// chain runs on the same registers, and the band-energy residual reuses
-// taps 5..9 (exactly the x[5j+p] samples). Same math as the general path
-// within f32 reorder (oracle tests carry 5e-5 tolerance).
-void small_w_blur5_i16(const int16_t* xi, int64_t no,
-                       const std::vector<float>& w, float* out,
-                       float* band_energy) {
-  static __m512i kIdx[15][3];
-  static __mmask16 kM01[15], kM23[15];
-  static const bool init = [] {
-    for (int d = 0; d < 15; ++d) {
-      alignas(64) int a0[16], a1[16], a2[16];
-      uint16_t m01 = 0, m23 = 0;
-      for (int lane = 0; lane < 16; ++lane) {
-        const int q = 5 * lane + d;       // flat offset of this lane's tap
-        a0[lane] = q & 31;
-        a1[lane] = (q - 32) & 31;
-        a2[lane] = (q - 64) & 31;
-        if (q < 32) m01 |= static_cast<uint16_t>(1) << lane;
-        else if (q < 64) m23 |= static_cast<uint16_t>(1) << lane;
+// Only the DS BASE tap vectors (d = 0..DS-1) are built from contiguous
+// ZMM loads by two-source lane permutes + blends; taps d+DS and d+2*DS
+// are the base taps shifted one/two LANES (v_{d+DS}(j)[lane] =
+// x[DS*(j+lane)+d] = v_d(j)[lane+1]), so they come from single valignd
+// ops against the NEXT output block's base taps - for ds=5 that is 35
+// port-5 ops per 16 outputs instead of the 90 a full 15-tap permute
+// build costs. The tap sums run as three accumulator chains (a single
+// ascending chain is FMA-latency-bound; the reorder is plain f32
+// reassociation, inside the extractor's oracle tolerance - the numpy
+// fallback already sums the taps in per-phase order), and the
+// band-energy residual reuses taps DS..2*DS-1 (exactly the x[DS*j+p]
+// samples).
+//
+// xi != nullptr: the source is int16 PCM converted to the f16 grid
+// block-locally (L2-resident buffer), so the full-rate f32 intermediate
+// never exists in memory. xi == nullptr: x is read directly (every
+// lookahead load is provably in bounds for block starts <= no-32).
+//
+// The [j0, j1) range form exists for the fused extractor, which walks
+// energy/ZCR/blur over one L2-resident PCM tile at a time so the
+// 44.1 kHz stream crosses DRAM once instead of three times (the
+// extractor is DRAM-bound at media scale: ~12 GB/s single-core on the
+// bench host). Writes are idempotent (out[j] depends only on the
+// source), so the <=15-output overrun of a range's final vector block
+// is harmless.
+template <int DS>
+struct Blur3LUT {
+  static constexpr int kPairs = (DS + 1) / 2;
+  __m512i idx[DS][kPairs];
+  __mmask16 mask[DS][kPairs];
+  Blur3LUT() {
+    for (int d = 0; d < DS; ++d) {
+      for (int p = 0; p < kPairs; ++p) {
+        alignas(64) int a[16];
+        uint16_t msk = 0;
+        for (int lane = 0; lane < 16; ++lane) {
+          const int q = DS * lane + d;    // flat offset of this lane's tap
+          a[lane] = (q - 32 * p) & 31;
+          if (q >= 32 * p && q < 32 * (p + 1))
+            msk |= static_cast<uint16_t>(1) << lane;
+        }
+        idx[d][p] = _mm512_load_si512(a);
+        mask[d][p] = msk;
       }
-      kIdx[d][0] = _mm512_load_si512(a0);
-      kIdx[d][1] = _mm512_load_si512(a1);
-      kIdx[d][2] = _mm512_load_si512(a2);
-      kM01[d] = m01;
-      kM23[d] = m23;
     }
-    return true;
-  }();
-  (void)init;
-  const int64_t m = no * 5;
-  const float* lut = f16_lut();
-  float wv[15];
-  for (int d = 0; d < 15; ++d) wv[d] = w[static_cast<size_t>(d)];
+  }
+};
 
+template <int DS>
+void small_w_blur3_range(const float* x, const int16_t* xi, int64_t no,
+                         const std::vector<float>& w, float* out,
+                         float* band_energy, int64_t j0, int64_t j1,
+                         std::vector<float>& buf) {
+  static const Blur3LUT<DS> T;
+  const int64_t m = no * DS;
+  const float* lut = f16_lut();
+  float wv[3 * DS];
+  for (int d = 0; d < 3 * DS; ++d) wv[d] = w[static_cast<size_t>(d)];
+
+  auto sample = [&](int64_t q) -> float {
+    return xi ? lut[static_cast<uint16_t>(xi[q])] : x[q];
+  };
   auto scalar_one = [&](int64_t j) {
-    const int64_t base = 5 * j - 5;       // 5*(j + c - blur + 1), c=1
+    const int64_t base = DS * j - DS;     // DS*(j + c - blur + 1), c=1
     float s = 0.f;
-    for (int d = 0; d < 15; ++d) {
+    for (int d = 0; d < 3 * DS; ++d) {
       const int64_t q = base + d;
-      if (q >= 0 && q < m)
-        s += wv[d] * lut[static_cast<uint16_t>(xi[q])];
+      if (q >= 0 && q < m) s += wv[d] * sample(q);
     }
     out[j] = s;
     if (band_energy) {
       float be = 0.f;
-      for (int p = 0; p < 5; ++p) {
-        const float dph = lut[static_cast<uint16_t>(xi[5 * j + p])] - s;
+      for (int p = 0; p < DS; ++p) {
+        const float dph = sample(DS * j + p) - s;
         be += dph * dph;
       }
       band_energy[j] = be;
     }
   };
 
-  int64_t j = 0;
+  int64_t j = j0;
   const int64_t last_start = no - 32;   // last 16-wide block start: its
-                                        // top lane reads sample 5*no-1
-  for (; j < 16 && j < no; ++j) scalar_one(j);
+                                        // lookahead reads sample DS*no-1
+  for (; j < 16 && j < j1; ++j) scalar_one(j);
   const int64_t BLK = 4096;
-  std::vector<float> buf(static_cast<size_t>(5 * BLK + 176));
-  for (int64_t jb = 16; jb <= last_start; jb += BLK) {
-    const int64_t jend_blk =
-        (jb + BLK <= last_start + 1) ? (jb + BLK) : (last_start + 1);
+  if (xi) buf.resize(static_cast<size_t>(DS) * BLK + 32 * DS);
+  const int64_t vend = (j1 <= last_start + 1) ? j1 : (last_start + 1);
+  const int64_t vstart = j;
+  for (int64_t jb = vstart; jb < vend; jb += BLK) {
+    const int64_t jend_blk = (jb + BLK <= vend) ? (jb + BLK) : vend;
     // highest block start actually issued in this BLK span
     const int64_t jj_last = jb + ((jend_blk - 1 - jb) / 16) * 16;
-    const int64_t s_lo = 5 * jb - 5;
-    const int64_t s_hi = 5 * (jj_last + 15) + 85;    // exclusive, <= m
-    float* cb = buf.data();
-    int64_t s = s_lo;
-    for (; s + 16 <= s_hi; s += 16)
-      _mm512_storeu_ps(cb + (s - s_lo), cvt_i16_f16grid(
-          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(xi + s))));
-    for (; s < s_hi; ++s)
-      cb[s - s_lo] = lut[static_cast<uint16_t>(xi[s])];
-    for (int64_t jj = jb; jj <= jj_last; jj += 16) {
-      const float* p = cb + (5 * jj - 5 - s_lo);
-      const __m512 r0 = _mm512_loadu_ps(p);
-      const __m512 r1 = _mm512_loadu_ps(p + 16);
-      const __m512 r2 = _mm512_loadu_ps(p + 32);
-      const __m512 r3 = _mm512_loadu_ps(p + 48);
-      const __m512 r4 = _mm512_loadu_ps(p + 64);
-      const __m512 r5 = _mm512_loadu_ps(p + 80);
-      __m512 acc = _mm512_setzero_ps();
-      __m512 vp[5];
-      for (int d = 0; d < 15; ++d) {
-        __m512 v01 = _mm512_permutex2var_ps(r0, kIdx[d][0], r1);
-        __m512 v23 = _mm512_permutex2var_ps(r2, kIdx[d][1], r3);
-        __m512 v45 = _mm512_permutex2var_ps(r4, kIdx[d][2], r5);
-        __m512 v = _mm512_mask_blend_ps(kM23[d], v45, v23);
-        v = _mm512_mask_blend_ps(kM01[d], v, v01);
-        if (d >= 5 && d < 10) vp[d - 5] = v;
-        acc = _mm512_fmadd_ps(_mm512_set1_ps(wv[d]), v, acc);
+    const int64_t s_lo = DS * jb - DS;
+    const float* src = x;
+    if (xi) {
+      // convert this span's sample window once; the lookahead of the
+      // last block reads up to DS*jj_last + 31*DS - 1 < m
+      const int64_t s_hi = DS * jj_last + 31 * DS;   // exclusive
+      const int64_t s_cv = (s_hi < m) ? s_hi : m;
+      float* cb = buf.data();
+      int64_t s = s_lo;
+      for (; s + 16 <= s_cv; s += 16)
+        _mm512_storeu_ps(cb + (s - s_lo), cvt_i16_f16grid(
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(xi + s))));
+      for (; s < s_cv; ++s)
+        cb[s - s_lo] = lut[static_cast<uint16_t>(xi[s])];
+      for (; s < s_hi; ++s) cb[s - s_lo] = 0.f;    // unreachable-by-proof
+      src = cb - s_lo;
+    }
+    // base taps d=0..DS-1 of the block starting at output jj (lane L
+    // reads flat sample DS*(jj+L) - DS + d)
+    auto load_base = [&](int64_t jj, __m512* base) {
+      const float* p = src + (DS * jj - DS);
+      __m512 r[DS];
+      for (int t = 0; t < DS; ++t) r[t] = _mm512_loadu_ps(p + 16 * t);
+      for (int d = 0; d < DS; ++d) {
+        __m512 v = _mm512_setzero_ps();
+        for (int pr = 0; pr < Blur3LUT<DS>::kPairs; ++pr) {
+          const __m512 hi = (2 * pr + 1 < DS) ? r[2 * pr + 1] : r[2 * pr];
+          const __m512 sel =
+              _mm512_permutex2var_ps(r[2 * pr], T.idx[d][pr], hi);
+          v = (pr == 0) ? sel : _mm512_mask_blend_ps(T.mask[d][pr], v, sel);
+        }
+        base[d] = v;
       }
+    };
+    __m512 bcur[DS], bnext[DS];
+    load_base(jb, bcur);
+    for (int64_t jj = jb; jj <= jj_last; jj += 16) {
+      load_base(jj + 16, bnext);
+      __m512 v[3 * DS];
+      for (int d = 0; d < DS; ++d) {
+        v[d] = bcur[d];
+        v[d + DS] = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(bnext[d]), _mm512_castps_si512(bcur[d]),
+            1));
+        v[d + 2 * DS] = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(bnext[d]), _mm512_castps_si512(bcur[d]),
+            2));
+      }
+      __m512 a0 = _mm512_setzero_ps();
+      __m512 a1 = _mm512_setzero_ps();
+      __m512 a2 = _mm512_setzero_ps();
+      for (int d = 0; d < 3 * DS; d += 3) {
+        a0 = _mm512_fmadd_ps(_mm512_set1_ps(wv[d]), v[d], a0);
+        a1 = _mm512_fmadd_ps(_mm512_set1_ps(wv[d + 1]), v[d + 1], a1);
+        a2 = _mm512_fmadd_ps(_mm512_set1_ps(wv[d + 2]), v[d + 2], a2);
+      }
+      const __m512 acc = _mm512_add_ps(_mm512_add_ps(a0, a1), a2);
       _mm512_storeu_ps(out + jj, acc);
       if (band_energy) {
-        __m512 be = _mm512_setzero_ps();
-        for (int pp = 0; pp < 5; ++pp) {
-          const __m512 dph = _mm512_sub_ps(vp[pp], acc);
-          be = _mm512_fmadd_ps(dph, dph, be);
+        __m512 b0 = _mm512_setzero_ps();
+        __m512 b1 = _mm512_setzero_ps();
+        for (int p = 0; p < DS; ++p) {
+          const __m512 dph = _mm512_sub_ps(v[DS + p], acc);
+          if (p & 1) b1 = _mm512_fmadd_ps(dph, dph, b1);
+          else b0 = _mm512_fmadd_ps(dph, dph, b0);
         }
-        _mm512_storeu_ps(band_energy + jj, be);
+        _mm512_storeu_ps(band_energy + jj, _mm512_add_ps(b0, b1));
       }
+      for (int d = 0; d < DS; ++d) bcur[d] = bnext[d];
       j = jj + 16;
     }
   }
-  for (; j < no; ++j) scalar_one(j);
+  for (; j < j1; ++j) scalar_one(j);
 }
 #endif
 
@@ -350,20 +436,19 @@ void downsample_blur(const float* x, int64_t n, int ds, int blur,
   int W = ds * blur;
   int lo = -ds * (blur - 1);
   int c = (blur - 1) / 2;
-  std::vector<float> taps = hann_taps(ds * blur + 2);
-  std::vector<float> w(static_cast<size_t>(W));
-  for (int d = lo; d < ds; ++d) {
-    int i = ((d % ds) + ds) % ds;
-    w[static_cast<size_t>(d - lo)] = taps[static_cast<size_t>(2 * i - d)];
-  }
+  std::vector<float> w = blur_w(ds, blur);
   out.resize(static_cast<size_t>(no));
 
   if (band_energy) band_energy->resize(static_cast<size_t>(no));
   if (W <= 64 && no >= 1024) {
 #ifdef DA_AVX512
-    if (xi && ds == 5 && blur == 3) {
-      small_w_blur5_i16(xi, no, w, out.data(),
-                        band_energy ? band_energy->data() : nullptr);
+    if (blur == 3 && (ds == 5 || ds == 7)) {
+      std::vector<float> buf;
+      float* be = band_energy ? band_energy->data() : nullptr;
+      if (ds == 5)
+        small_w_blur3_range<5>(x, xi, no, w, out.data(), be, 0, no, buf);
+      else
+        small_w_blur3_range<7>(x, xi, no, w, out.data(), be, 0, no, buf);
       return;
     }
 #endif
@@ -447,7 +532,7 @@ struct StageTimer {
 // 4-worker batch).
 struct FeatScratch {
   std::vector<float> arr, energy, smooth, counts;
-  std::vector<float> bottom[2], band_energy, band;
+  std::vector<float> bottom[2], band_energy, band_energy0, band;
 };
 std::mutex g_scratch_mu;
 std::vector<std::unique_ptr<FeatScratch>> g_scratch_pool;
@@ -504,22 +589,41 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   // full-rate f32 intermediate never exists (its write + two re-reads
   // were the extractor's largest memory cost)
 #ifdef DA_AVX512
-  const bool no_arr = (channels == 1);
+  const bool fused = (channels == 1);
 #else
-  const bool no_arr = false;
+  const bool fused = false;
 #endif
-  if (!no_arr) arr.resize(static_cast<size_t>(n_arr));
+  if (!fused) arr.resize(static_cast<size_t>(n_arr));
   int64_t ne = samples / 105;
   std::vector<float>& energy = S.energy;
   energy.resize(static_cast<size_t>(ne));
-  {
-    float inv = 1.f / (105.f * static_cast<float>(channels));
-    if (channels == 1) {
-      const int16_t* p = pcm;
 #ifdef DA_AVX512
-      int64_t b = 0;
-      for (; b * 105 + 105 <= samples; ++b) {
-        const int16_t* q = p + b * 105;
+  if (fused) {
+    // --- fused tiled front pass (mono) -------------------------------------
+    // The extractor is DRAM-bound at media scale (~12 GB/s single-core):
+    // energy, ZCR, and the stage-0 blur each walk the full 44.1 kHz PCM,
+    // so running them as three separate passes pays DRAM three times.
+    // Here they walk ONE L2-resident tile at a time - the first sub-pass
+    // pulls the tile from DRAM, the other two hit L2. The stage-0 blur's
+    // band output and ZCR counts land in scratch for the shared
+    // post-processing below; per-output math is identical to the
+    // unfused kernels (idempotent range form of the blur).
+    const int64_t nz = n_arr / 210;
+    std::vector<float>& counts = S.counts;
+    counts.assign(static_cast<size_t>(nz), 0.f);
+    const int64_t no0 = n_arr / 5;
+    std::vector<float>& bottom0 = S.bottom[0];
+    std::vector<float>& be0 = S.band_energy0;
+    bottom0.resize(static_cast<size_t>(no0));
+    be0.resize(static_cast<size_t>(no0));
+    const std::vector<float> w5 = blur_w(5, 3);
+    std::vector<float> blurbuf;
+    const float inv = 1.f / 105.f;
+    const int64_t TILE = 215040;     // samples: lcm(210, 80)*128, ~420 KB
+    for (int64_t s0 = 0; s0 < n_arr; s0 += TILE) {
+      const int64_t s1 = (s0 + TILE < n_arr) ? s0 + TILE : n_arr;
+      for (int64_t b = s0 / 105; b < s1 / 105; ++b) {
+        const int16_t* q = pcm + b * 105;
         __m512 acc = _mm512_setzero_ps();
         for (int k = 0; k + 16 <= 105; k += 16) {
           __m512 v = cvt_i16_f16grid(_mm256_loadu_si256(
@@ -531,16 +635,50 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
         acc = _mm512_fmadd_ps(v, v, acc);
         energy[static_cast<size_t>(b)] = _mm512_reduce_add_ps(acc) * inv;
       }
-      for (; b < ne; ++b) {
-        float s = 0.f;
-        const int64_t i0 = b * 105;
-        for (int k = 0; k < 105; ++k) {
-          float v = lut[static_cast<uint16_t>(p[i0 + k])];
-          s += v * v;
-        }
-        energy[static_cast<size_t>(b)] = s * inv;
+      int64_t b = s0 / 210;
+      if (b == 0 && nz > 0) {  // np.diff(..., prepend=False): first block
+        int32_t cnt = (pcm[0] < 0);
+        for (int k = 1; k < 210; ++k)
+          cnt += static_cast<uint16_t>(pcm[k] ^ pcm[k - 1]) >> 15;
+        counts[0] = static_cast<float>(cnt);
+        b = 1;
       }
-#else
+      for (; b < s1 / 210; ++b) {
+        const int16_t* q = pcm + b * 210;
+        __m512i acc = _mm512_setzero_si512();
+        for (int k = 0; k + 32 <= 210; k += 32) {
+          const __m512i a = _mm512_loadu_si512(q + k);
+          const __m512i d = _mm512_loadu_si512(q + k - 1);
+          acc = _mm512_add_epi16(
+              acc, _mm512_srli_epi16(_mm512_xor_si512(a, d), 15));
+        }
+        const __mmask32 tm = (1u << 18) - 1;  // tail lanes 192..209
+        const __m512i a = _mm512_maskz_loadu_epi16(tm, q + 192);
+        const __m512i d = _mm512_maskz_loadu_epi16(tm, q + 191);
+        acc = _mm512_add_epi16(
+            acc, _mm512_srli_epi16(_mm512_xor_si512(a, d), 15));
+        counts[static_cast<size_t>(b)] = static_cast<float>(
+            _mm512_reduce_add_epi32(
+                _mm512_madd_epi16(acc, _mm512_set1_epi16(1))));
+      }
+      small_w_blur3_range<5>(nullptr, pcm, no0, w5, bottom0.data(),
+                             be0.data(), s0 / 5, s1 / 5, blurbuf);
+    }
+    for (int64_t b = n_arr / 105; b < ne; ++b) {  // blocks past n_arr
+      float s = 0.f;
+      const int64_t i0 = b * 105;
+      for (int k = 0; k < 105; ++k) {
+        float v = lut[static_cast<uint16_t>(pcm[i0 + k])];
+        s += v * v;
+      }
+      energy[static_cast<size_t>(b)] = s * inv;
+    }
+  }
+#endif
+  if (!fused) {
+    float inv = 1.f / (105.f * static_cast<float>(channels));
+    if (channels == 1) {
+      const int16_t* p = pcm;
       for (int64_t b = 0; b < ne; ++b) {
         float s = 0.f;
         const int64_t i0 = b * 105;
@@ -561,7 +699,6 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
         }
         energy[static_cast<size_t>(b)] = s * inv;
       }
-#endif
     } else {
       // numpy float16 mean over channels accumulates in FLOAT32 and rounds
       // once (np.mean special-cases f16); per-step f16 rounding would
@@ -605,24 +742,56 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
     int64_t n = samples - samples % 210;
     int64_t nz = n / 210;
     std::vector<float>& counts = S.counts;
-    counts.assign(static_cast<size_t>(nz), 0.f);
-    for (int64_t c = 0; c < channels; ++c) {
+    if (!fused) {
+      counts.assign(static_cast<size_t>(nz), 0.f);
+    }
+    for (int64_t c = fused ? channels : 0; c < channels; ++c) {
       const int16_t* p = pcm + c * samples;
       // sign(q[k]) != sign(q[k-1])  <=>  the xor's sign bit is set; the
       // adjacent-load form has no loop-carried state, so it vectorizes
       // (the old running-bool `prev` forced a serial chain)
-      for (int64_t b = 0; b < nz; ++b) {
+      int64_t b = 0;
+      if (nz > 0) {  // np.diff(..., prepend=False): first diff vs "false"
+        int32_t cnt = (p[0] < 0);
+        for (int k = 1; k < 210; ++k)
+          cnt += static_cast<uint16_t>(p[k] ^ p[k - 1]) >> 15;
+        counts[0] += static_cast<float>(cnt);
+        b = 1;
+      }
+#ifdef DA_AVX512
+      // explicit u16-lane version: per 32 samples one load pair + xor +
+      // shift + add into 32 u16 accumulators (each lane sums <= 7 bits
+      // per block, far from overflow), one widening reduce per block -
+      // the autovectorized form re-widened to i32 inside the loop
+      for (; b < nz; ++b) {
+        const int16_t* q = p + b * 210;
+        __m512i acc = _mm512_setzero_si512();
+        for (int k = 0; k + 32 <= 210; k += 32) {
+          const __m512i a = _mm512_loadu_si512(q + k);
+          const __m512i d = _mm512_loadu_si512(q + k - 1);
+          acc = _mm512_add_epi16(
+              acc, _mm512_srli_epi16(_mm512_xor_si512(a, d), 15));
+        }
+        {  // tail lanes 192..209 (18 samples)
+          const __mmask32 tm = (1u << 18) - 1;
+          const __m512i a = _mm512_maskz_loadu_epi16(tm, q + 192);
+          const __m512i d = _mm512_maskz_loadu_epi16(tm, q + 191);
+          acc = _mm512_add_epi16(
+              acc, _mm512_srli_epi16(_mm512_xor_si512(a, d), 15));
+        }
+        const int32_t cnt = _mm512_reduce_add_epi32(
+            _mm512_madd_epi16(acc, _mm512_set1_epi16(1)));
+        counts[static_cast<size_t>(b)] += static_cast<float>(cnt);
+      }
+#else
+      for (; b < nz; ++b) {
         const int16_t* q = p + b * 210;
         int32_t cnt = 0;
-        int k0 = 0;
-        if (b == 0) {  // np.diff(..., prepend=False): first diff vs "false"
-          cnt += (q[0] < 0);
-          k0 = 1;
-        }
-        for (int k = k0; k < 210; ++k)
+        for (int k = 0; k < 210; ++k)
           cnt += static_cast<uint16_t>(q[k] ^ q[k - 1]) >> 15;
         counts[static_cast<size_t>(b)] += static_cast<float>(cnt);
       }
+#endif
     }
     if (channels == 1)
       for (float& v : counts) v *= 2.f;
@@ -636,30 +805,34 @@ int extract_features_i16(const int16_t* pcm, int64_t channels,
   {
     const int downsamples[3] = {5, 7, 6};
     int64_t decimation = 1;
-    const float* cur = no_arr ? nullptr : arr.data();
-    const int16_t* cur_i16 = no_arr ? pcm : nullptr;
+    const float* cur = fused ? nullptr : arr.data();
+    const int16_t* cur_i16 = fused ? pcm : nullptr;
     int64_t cur_n = n_arr;
     for (int stage = 0; stage < 3; ++stage) {
       int ds = downsamples[stage];
       int64_t m = cur_n - cur_n % ds;
       int64_t nb = m / ds;
       std::vector<float>& bottom = S.bottom[stage & 1];
-      std::vector<float>& band_energy = S.band_energy;
+      std::vector<float>* band_energy = &S.band_energy;
       decimation *= ds;
-      if (stage < 2) {
-        downsample_blur(cur, m, ds, 3, bottom, &band_energy, cur_i16);
+      if (stage == 0 && fused) {
+        // the fused front pass already produced stage 0's blur (bottom0)
+        // and residual band energy
+        band_energy = &S.band_energy0;
+      } else if (stage < 2) {
+        downsample_blur(cur, m, ds, 3, bottom, band_energy, cur_i16);
       } else {
-        band_energy.resize(static_cast<size_t>(nb));
+        band_energy->resize(static_cast<size_t>(nb));
         for (int64_t j = 0; j < nb; ++j) {
           const float* p = cur + j * ds;
           float s = 0.f;
           for (int i = 0; i < ds; ++i) s += p[i] * p[i];
-          band_energy[static_cast<size_t>(j)] = s;
+          (*band_energy)[static_cast<size_t>(j)] = s;
         }
       }
       st.lap("  blur+be");
       std::vector<float>& band = S.band;
-      downsample_blur(band_energy.data(), nb,
+      downsample_blur(band_energy->data(), nb,
                       static_cast<int>(210 / decimation), 15, band);
       float* dst = out + (2 + stage) * out_stride;
       for (size_t j = 0; j < band.size(); ++j)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Dev profiling: event timeline of the batch streaming path.
+
+Mirrors api._align_batch_streamed with per-event wall/CPU timestamps so the
+stall structure is visible: for each pair, feature extraction, uploads,
+dispatch, the one concatenated pull, the LIS feed, and the refinement tail,
+all stamped on a shared wall clock. Run SOLO on the real TPU.
+
+Usage: python scripts/profile_batch.py [reps]
+"""
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+    from bench import build_batch_pairs
+    from describealign_tpu.alignment import api, matching
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    pairs, lens, planted, kinds = build_batch_pairs()
+    batch_minutes = sum(s_a / 44100.0 / 60.0 for (_, s_a) in lens)
+    b = len(pairs)
+
+    # warm every bucket
+    api.align_batch_from_pcm(pairs, true_samples=lens)
+
+    events = []
+    ev_mu = threading.Lock()
+    wall0 = [0.0]
+
+    def ev(tag, i, t0, c0):
+        t1, c1 = time.time(), time.process_time()
+        with ev_mu:
+            events.append((t0 - wall0[0], t1 - wall0[0], c1 - c0, tag, i))
+        return t1, c1
+
+    def run_once(device_depth=4, host_workers=2):
+        events.clear()
+        results = [None] * b
+        in_flight = threading.Semaphore(max(2, device_depth + 1))
+
+        def consume(packed_dev, starts_dev, fa, fv, na, nv, i):
+            try:
+                t0, c0 = time.time(), time.process_time()
+                packed = np.asarray(packed_dev)
+                starts = np.asarray(starts_dev)
+                t0, c0 = ev('pull', i, t0, c0)
+                y, x = api._consume_stream(iter([packed]), starts)
+                t0, c0 = ev('lis', i, t0, c0)
+                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                               'native', True)
+                ev('tail', i, t0, c0)
+                return r
+            finally:
+                in_flight.release()
+
+        t_start = time.time()
+        c_start = time.process_time()
+        wall0[0] = t_start
+        futs = []
+        with ThreadPoolExecutor(max_workers=host_workers) as pool:
+            for i in range(b):
+                v, a = pairs[i]
+                sv, sa = lens[i]
+                t0, c0 = time.time(), time.process_time()
+                in_flight.acquire()
+                t0, c0 = ev('acquire', i, t0, c0)
+                npad = max(api._bucket_pad(sv // 210),
+                           api._bucket_pad(sa // 210))
+                fv, nv = api.host_features_padded(v, sv, npad)
+                t0, c0 = ev('feat_v', i, t0, c0)
+                dev_v = jax.device_put(fv.astype(np.float16))
+                t0, c0 = ev('h2d_v', i, t0, c0)
+                fa, na = api.host_features_padded(a, sa, npad)
+                t0, c0 = ev('feat_a', i, t0, c0)
+                dev_a = jax.device_put(fa.astype(np.float16))
+                t0, c0 = ev('h2d_a', i, t0, c0)
+                chunks, starts_dev, _ = matching.match_stream(dev_a, na,
+                                                              dev_v, nv)
+                packed_dev = (chunks[0] if len(chunks) == 1
+                              else matching.concat_chunks(chunks))
+                t0, c0 = ev('dispatch', i, t0, c0)
+                futs.append((i, pool.submit(consume, packed_dev, starts_dev,
+                                            fa, fv, na, nv, i)))
+            for i, f in futs:
+                results[i] = f.result()
+        wall = time.time() - t_start
+        cpu = time.process_time() - c_start
+        return wall, cpu
+
+    best = (float('inf'), None, None)
+    for _ in range(reps):
+        wall, cpu = run_once()
+        snap = list(events)
+        if wall < best[0]:
+            best = (wall, cpu, snap)
+        print(f"wall={wall:6.2f} s  cpu={cpu:6.2f} s  "
+              f"tput={batch_minutes / wall:5.2f} audio-min/s", flush=True)
+
+    wall, cpu, snap = best
+    print(f"\nBEST wall={wall:.2f}  cpu={cpu:.2f}  "
+          f"tput={batch_minutes / wall:.2f} audio-min/s")
+    print(f"{'tag':10s} {'count':>5s} {'wall_sum':>9s} {'cpu_sum':>8s}")
+    agg = {}
+    for (ts, te, c, tag, i) in snap:
+        w, cc, n = agg.get(tag, (0.0, 0.0, 0))
+        agg[tag] = (w + (te - ts), cc + c, n + 1)
+    for tag, (w, cc, n) in sorted(agg.items()):
+        print(f"{tag:10s} {n:5d} {w:9.2f} {cc:8.2f}")
+    print("\ntimeline (start-end s, cpu s):")
+    for (ts, te, c, tag, i) in sorted(snap):
+        bar = ' ' * int(ts * 4) + '#' * max(1, int((te - ts) * 4))
+        print(f"{ts:6.2f}-{te:6.2f} c={c:5.2f} p{i} {tag:9s} |{bar}")
+
+
+if __name__ == "__main__":
+    main()
