@@ -299,10 +299,15 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     results = [None] * b
     in_flight = threading.Semaphore(max(2, device_depth + 1))
 
-    def consume(packed_dev, starts_dev, fa, fv, na, nv):
+    def consume(combo_dev, w_st, fa, fv, na, nv):
         try:
-            y, x = _consume_stream(iter([np.asarray(packed_dev)]),
-                                   np.asarray(starts_dev))
+            # one pull per pair: trailing w_st int16 words per row are the
+            # bitcast band starts (concat_chunks_with_starts)
+            buf = np.asarray(combo_dev)
+            starts_tracks = np.ascontiguousarray(
+                buf[:, -w_st:]).view(np.int32).T          # (T, B_pad)
+            packed = np.ascontiguousarray(buf[:, :-w_st])
+            y, x = _consume_stream(iter([packed]), starts_tracks)
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
         finally:
@@ -322,9 +327,10 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 dev_a = jax.device_put(fa.astype(np.float16))
                 chunks, starts_dev, _ = matching.match_stream(dev_a, na,
                                                               dev_v, nv)
-                packed_dev = (chunks[0] if len(chunks) == 1
-                              else matching.concat_chunks(chunks))
-                futs.append((i, pool.submit(consume, packed_dev, starts_dev,
+                combo_dev = matching.concat_chunks_with_starts(chunks,
+                                                               starts_dev)
+                futs.append((i, pool.submit(consume, combo_dev,
+                                            2 * starts_dev.shape[0],
                                             fa, fv, na, nv)))
             except BaseException:
                 # a failing dispatch must not leak its semaphore slot;
@@ -546,6 +552,38 @@ def _use_streaming():
             and lis.LisStream.available())
 
 
+def _rescale_native(feats_a_np, feats_v_np, na, nv, xi, yi,
+                    audio_scaled, video_scaled):
+    """Native one-pass twin of the rescale loop below (features.cpp
+    rescale_feature); returns False when the library is unavailable so the
+    numpy path runs instead. Equality is unit-tested (test_host_features).
+    """
+    import ctypes
+
+    from .native import native_lib
+    lib = native_lib()
+    if lib is None or not hasattr(lib, 'rescale_feature'):
+        return False
+    if not (feats_a_np.dtype == np.float32 and feats_a_np.flags.c_contiguous
+            and feats_v_np.dtype == np.float32
+            and feats_v_np.flags.c_contiguous):
+        return False
+    fp = ctypes.POINTER(ctypes.c_float)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    for j in range(3):
+        rc = lib.rescale_feature(
+            feats_v_np[j].ctypes.data_as(fp), ctypes.c_int64(nv),
+            feats_a_np[j].ctypes.data_as(fp), ctypes.c_int64(na),
+            yi.ctypes.data_as(lp), xi.ctypes.data_as(lp),
+            ctypes.c_int64(len(xi)),
+            ctypes.cast(audio_scaled.ctypes.data + 4 * j, fp),
+            ctypes.cast(video_scaled.ctypes.data + 4 * j, fp),
+            ctypes.c_int64(3))
+        if rc != 0:
+            return False
+    return True
+
+
 def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
                  fit_backend, quiet=False):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
@@ -569,19 +607,23 @@ def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
     # pass-2 scoring consumes them through log10 of |differences| ~1e-4..1,
     # where f32's 1e-7 relative noise is far below the cluster DP's
     # decision scale (reference-parity campaign re-validated at f32).
-    audio_scaled_list, video_scaled_list = [], []
-    yi = y.astype(np.int64)
-    xi = x.astype(np.int64)
-    for j in range(5):
-        vf = feats_v_np[j, :nv].astype(np.float64)
-        af = feats_a_np[j, :na].astype(np.float64)
-        af_std = np.std(af)
-        vy = vf[yi]
-        scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
-        audio_scaled_list.append((af / af_std).astype(np.float32))
-        video_scaled_list.append((vf * (scale / af_std)).astype(np.float32))
-    audio_scaled = np.stack(audio_scaled_list[:3], axis=1)
-    video_scaled = np.stack(video_scaled_list[:3], axis=1)
+    # Only the first 3 streams are rescaled: they are all the pass-2
+    # scorer consumes (the reference rescales all 5 but likewise only
+    # feeds the first 3 into pass 2, describealign.py:864, 933).
+    yi = np.ascontiguousarray(y, np.int64)
+    xi = np.ascontiguousarray(x, np.int64)
+    audio_scaled = np.empty((na, 3), np.float32)
+    video_scaled = np.empty((nv, 3), np.float32)
+    if not _rescale_native(feats_a_np, feats_v_np, na, nv, xi, yi,
+                           audio_scaled, video_scaled):
+        for j in range(3):
+            vf = feats_v_np[j, :nv].astype(np.float64)
+            af = feats_a_np[j, :na].astype(np.float64)
+            af_std = np.std(af)
+            vy = vf[yi]
+            scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
+            audio_scaled[:, j] = af / af_std
+            video_scaled[:, j] = vf * (scale / af_std)
 
     cx, cy = continuity.compress_path(x, y)
     fit_result = fit.solve_l1_fit(cx, cy, backend=fit_backend)

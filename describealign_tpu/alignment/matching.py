@@ -564,6 +564,22 @@ def concat_chunks(chunks):
     return jnp.concatenate(chunks, axis=0)
 
 
+@jax.jit
+def concat_chunks_with_starts(chunks, starts_tracks):
+    """Batch transport: the streamed chunks concatenated along blocks with
+    each block's band starts bitcast into 2*T trailing int16 words per row
+    - ONE (B_pad, W + 2*T) buffer, so the batch path pays a single D2H
+    round trip per pair (the separate starts pull was a second ~26 ms
+    round trip on the tunneled link). Split back by api's batch consumer.
+    """
+    packed = jnp.concatenate(chunks, axis=0)            # (B_pad, W)
+    st16 = jax.lax.bitcast_convert_type(
+        jnp.transpose(starts_tracks).astype(jnp.int32),
+        jnp.int16)                                      # (B_pad, T, 2)
+    return jnp.concatenate(
+        [packed, st16.reshape(st16.shape[0], -1)], axis=1)
+
+
 def match_stream(dev_a, len_a, dev_v, len_v):
     """Dispatch the full streaming matcher. Returns (chunk_outputs,
     starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is

@@ -177,6 +177,21 @@ inline void cand_add(Cand* cands, int& m, int64_t v, double q) {
 inline bool lis_frame(LisStream& st, const Cand* cands, int m, int64_t a) {
   BitFrontier& best = st.best;
   const int64_t cap = best.cap;
+  // the frontier's cum/node/l0 arrays are several MB at media scale, so
+  // each candidate's pred/succ walk is LLC-latency-bound; issuing all of
+  // the frame's lookups up front shaves a few % on the production-shaped
+  // microbench (scripts/bench_lis.py). The walk itself is a true serial
+  // chain (a candidate's set/erase can change the next one's pred), so
+  // the remaining latency is not overlappable without changing the
+  // frame-sequencing semantics.
+  for (int t = 0; t < m; ++t) {
+    const int64_t key = cands[t].v + 1;
+    if (key >= 1 && key < cap) {
+      __builtin_prefetch(&best.cum[static_cast<size_t>(key)]);
+      __builtin_prefetch(&best.node[static_cast<size_t>(key)]);
+      __builtin_prefetch(&best.l0[static_cast<size_t>(key >> 6)]);
+    }
+  }
   for (int t = 0; t < m; ++t) {
     if (t > 0 && cands[t].v == cands[t - 1].v
         && cands[t].q == cands[t - 1].q) {

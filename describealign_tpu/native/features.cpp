@@ -925,6 +925,84 @@ int conv_f64(const double* x, int64_t n, const double* taps, int64_t t,
   return 0;
 }
 
+// Least-squares gain rescale of one feature-stream pair (the semantics of
+// reference describealign.py:733-741 as used by alignment/api.py):
+//   scale = <vf[yi], af[xi]> / max(<vf[yi], vf[yi]>, 1e-30)
+//   sd    = np.std(af)  (two-pass, f64)
+//   audio_out[k*stride] = (float)(af[k] / sd)           for k < na
+//   video_out[k*stride] = (float)(vf[k] * (scale/sd))   for k < nv
+// Sources are the f32 feature rows (promoted per element, exact); all
+// accumulation is f64 in 4 independent chains - deterministic, and within
+// f64 reassociation noise of numpy's pairwise sums / BLAS ddot, which
+// vanishes in the f32 round of the outputs. Replaces ~8 media-length
+// numpy array passes per stream (astype copies, fancy-index gathers,
+// divide, multiply, astype) with one gather pass + two output passes.
+int rescale_feature(const float* vf, int64_t nv, const float* af, int64_t na,
+                    const int64_t* yi, const int64_t* xi, int64_t npath,
+                    float* audio_out, float* video_out, int64_t stride) {
+  if (nv < 1 || na < 1 || npath < 0 || stride < 1) return 1;
+  double s[4] = {0.0, 0.0, 0.0, 0.0};
+  int64_t k = 0;
+  for (; k + 4 <= na; k += 4) {
+    s[0] += af[k];
+    s[1] += af[k + 1];
+    s[2] += af[k + 2];
+    s[3] += af[k + 3];
+  }
+  double mean = (s[0] + s[1]) + (s[2] + s[3]);
+  for (; k < na; ++k) mean += af[k];
+  mean /= static_cast<double>(na);
+  double v[4] = {0.0, 0.0, 0.0, 0.0};
+  for (k = 0; k + 4 <= na; k += 4) {
+    const double d0 = af[k] - mean, d1 = af[k + 1] - mean;
+    const double d2 = af[k + 2] - mean, d3 = af[k + 3] - mean;
+    v[0] += d0 * d0;
+    v[1] += d1 * d1;
+    v[2] += d2 * d2;
+    v[3] += d3 * d3;
+  }
+  double var = (v[0] + v[1]) + (v[2] + v[3]);
+  for (; k < na; ++k) {
+    const double d = af[k] - mean;
+    var += d * d;
+  }
+  const double sd = std::sqrt(var / static_cast<double>(na));
+
+  double num[4] = {0.0, 0.0, 0.0, 0.0};
+  double den[4] = {0.0, 0.0, 0.0, 0.0};
+  int64_t t = 0;
+  for (; t + 4 <= npath; t += 4) {
+    for (int u = 0; u < 4; ++u) {
+      const int64_t y = yi[t + u], x = xi[t + u];
+      if (y < 0 || y >= nv || x < 0 || x >= na) return 2;
+      const double vy = vf[y];
+      num[u] += vy * static_cast<double>(af[x]);
+      den[u] += vy * vy;
+    }
+  }
+  double dnum = (num[0] + num[1]) + (num[2] + num[3]);
+  double dden = (den[0] + den[1]) + (den[2] + den[3]);
+  for (; t < npath; ++t) {
+    const int64_t y = yi[t], x = xi[t];
+    if (y < 0 || y >= nv || x < 0 || x >= na) return 2;
+    const double vy = vf[y];
+    dnum += vy * static_cast<double>(af[x]);
+    dden += vy * vy;
+  }
+  const double scale = dnum / ((dden > 1e-30) ? dden : 1e-30);
+
+  // numpy divides per element (af / af_std); keep the division so the
+  // f64 value matches numpy's bit-for-bit before the f32 round
+  for (k = 0; k < na; ++k)
+    audio_out[k * stride] =
+        static_cast<float>(static_cast<double>(af[k]) / sd);
+  const double q = scale / sd;
+  for (k = 0; k < nv; ++k)
+    video_out[k * stride] =
+        static_cast<float>(static_cast<double>(vf[k]) * q);
+  return 0;
+}
+
 // Python round(v, 6) twin for the pass-2 cluster keys: correctly-rounded
 // decimal rounding, half-to-even on exact decimal ties - semantics that
 // np.round's scale-multiply-round does NOT guarantee (glibc's %.6f and

@@ -89,3 +89,48 @@ def test_lis_from_match_equals_python_reference():
     want_v, want_a = lis.weighted_lis_py(a, v, q)
     np.testing.assert_array_equal(got_v, want_v)
     np.testing.assert_array_equal(got_a, want_a)
+
+
+def test_native_rescale_matches_numpy():
+    """features.cpp rescale_feature vs the numpy rescale loop in api.py:
+    identical after the f32 round (f64 reassociation noise only)."""
+    from describealign_tpu.alignment.api import _rescale_native
+
+    rng = np.random.default_rng(33)
+    na, nv, npath = 5000, 4700, 3100
+    feats_a = (rng.uniform(0, 2.5, (5, na + 8)).astype(np.float32))
+    feats_v = (rng.uniform(0, 2.5, (5, nv + 8)).astype(np.float32))
+    xi = np.sort(rng.integers(0, na, npath)).astype(np.int64)
+    yi = np.sort(rng.integers(0, nv, npath)).astype(np.int64)
+
+    got_a = np.empty((na, 3), np.float32)
+    got_v = np.empty((nv, 3), np.float32)
+    ok = _rescale_native(feats_a, feats_v, na, nv, xi, yi, got_a, got_v)
+    if not ok:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    want_a = np.empty((na, 3), np.float32)
+    want_v = np.empty((nv, 3), np.float32)
+    for j in range(3):
+        vf = feats_v[j, :nv].astype(np.float64)
+        af = feats_a[j, :na].astype(np.float64)
+        af_std = np.std(af)
+        vy = vf[yi]
+        scale = np.dot(vy, af[xi]) / np.maximum(np.dot(vy, vy), 1e-30)
+        want_a[:, j] = af / af_std
+        want_v[:, j] = vf * (scale / af_std)
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-6, atol=1e-9)
+
+
+def test_native_rescale_rejects_out_of_range_path():
+    from describealign_tpu.alignment.api import _rescale_native
+    na, nv = 64, 64
+    feats = np.ones((5, 64), np.float32)
+    xi = np.array([0, 70], np.int64)                  # out of range
+    yi = np.array([0, 1], np.int64)
+    a = np.empty((na, 3), np.float32)
+    v = np.empty((nv, 3), np.float32)
+    assert not _rescale_native(feats, feats, na, nv, xi, yi, a, v), \
+        "out-of-range path index must report failure (numpy fallback)"
