@@ -306,7 +306,9 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
             buf = np.asarray(combo_dev)
             starts_tracks = np.ascontiguousarray(
                 buf[:, -w_st:]).view(np.int32).T          # (T, B_pad)
-            packed = np.ascontiguousarray(buf[:, :-w_st])
+            # leading-columns VIEW: the strided native feed reads the
+            # packed rows in place (no second media-scale copy)
+            packed = buf[:, :-w_st]
             y, x = _consume_stream(iter([packed]), starts_tracks)
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
@@ -322,11 +324,16 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
             try:
                 npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
                 fv, nv = host_features_padded(v, sv, npad)
-                dev_v = jax.device_put(fv.astype(np.float16))
                 fa, na = host_features_padded(a, sa, npad)
-                dev_a = jax.device_put(fa.astype(np.float16))
-                chunks, starts_dev, _ = matching.match_stream(dev_a, na,
-                                                              dev_v, nv)
+                # one combined H2D per pair ([0]=audio, [1]=video): each
+                # device_put pays a ~26 ms tunnel round trip plus a
+                # serialization pass before any bytes move
+                fav = np.empty((2, 5, npad), np.float16)
+                fav[0] = fa
+                fav[1] = fv
+                dev_av = jax.device_put(fav)
+                chunks, starts_dev, _ = matching.match_stream_pair(
+                    dev_av, na, nv)
                 combo_dev = matching.concat_chunks_with_starts(chunks,
                                                                starts_dev)
                 futs.append((i, pool.submit(consume, combo_dev,

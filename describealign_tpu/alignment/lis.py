@@ -202,21 +202,46 @@ class LisStream:
         """Feed a chunk straight from its packed int16 transport buffer
         (matching.match_fine_chunk's layout: band-1 code words + offsets at
         full frame rate, rescue rows for even frames) - zero host-side
-        copies; semantics identical to feed_split on the unpacked arrays."""
+        copies; semantics identical to feed_split on the unpacked arrays.
+
+        `packed` may be a leading-columns VIEW of a wider (nb, W) int16
+        array (the batch path's combined transport buffer carries bitcast
+        band starts in its trailing words): rows that are int16-contiguous
+        but a constant stride apart feed in place via the strided native
+        entry, with no 2-D copy."""
         import ctypes
-        packed = np.ascontiguousarray(packed, np.int16)   # no-op for D2H pulls
+        packed = np.asarray(packed)
+        strided = (packed.ndim == 2 and packed.dtype == np.int16
+                   and packed.strides[1] == 2 and packed.strides[0] >= 0
+                   and packed.strides[0] % 2 == 0
+                   and hasattr(self._lib, 'lis_stream_feed_packed_strided'))
+        if not strided:
+            packed = np.ascontiguousarray(packed, np.int16)
         starts = np.ascontiguousarray(starts, np.int32)
         if starts.ndim == 1:
             starts = starts[:, None]
         nb = packed.shape[0]
-        rc = self._lib.lis_stream_feed_packed(
-            ctypes.c_void_p(self._ctx),
-            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
-            ctypes.c_longlong(k1), ctypes.c_longlong(k2),
-            ctypes.c_longlong(starts.shape[1]),
-            ctypes.c_longlong(int(a_base)))
+        if strided:
+            row_stride_words = (packed.strides[0] // 2 if nb > 1
+                                else packed.shape[1])
+            rc = self._lib.lis_stream_feed_packed_strided(
+                ctypes.c_void_p(self._ctx),
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.c_longlong(row_stride_words),
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+                ctypes.c_longlong(k1), ctypes.c_longlong(k2),
+                ctypes.c_longlong(starts.shape[1]),
+                ctypes.c_longlong(int(a_base)))
+        else:
+            rc = self._lib.lis_stream_feed_packed(
+                ctypes.c_void_p(self._ctx),
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+                ctypes.c_longlong(k1), ctypes.c_longlong(k2),
+                ctypes.c_longlong(starts.shape[1]),
+                ctypes.c_longlong(int(a_base)))
         if rc != 0:
             raise RuntimeError("lis_stream_feed_packed failed")
 

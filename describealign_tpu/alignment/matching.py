@@ -485,16 +485,7 @@ def _qual_dequantize_f16(code_u8):
 FINE_CHUNK = 256  # blocks (seconds of audio) per streamed fine chunk
 
 
-@partial(jax.jit, static_argnames=())
-def match_coarse(feats_a, len_a, feats_v, len_v):
-    """Preprocess + coarse k-best tracks; the device-resident first half of
-    the streaming matcher.
-
-    Returns (ms_a, norms_a, a_mask, ms_v, norms_v, v_mask) device state for
-    match_fine_chunk plus starts_tracks (T, B_pad) i32, padded to a
-    FINE_CHUNK multiple (padding repeats the last block's starts; padded
-    blocks emit zero quals).
-    """
+def _match_coarse_impl(feats_a, len_a, feats_v, len_v):
     from .preprocess import preprocess_features
     feats_a = feats_a.astype(jnp.float32)
     feats_v = feats_v.astype(jnp.float32)
@@ -507,6 +498,28 @@ def match_coarse(feats_a, len_a, feats_v, len_v):
     starts_tracks = jnp.pad(starts_tracks, ((0, 0), (0, b_pad - nb)),
                             mode='edge')
     return ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks
+
+
+@partial(jax.jit, static_argnames=())
+def match_coarse(feats_a, len_a, feats_v, len_v):
+    """Preprocess + coarse k-best tracks; the device-resident first half of
+    the streaming matcher.
+
+    Returns (ms_a, norms_a, a_mask, ms_v, norms_v, v_mask) device state for
+    match_fine_chunk plus starts_tracks (T, B_pad) i32, padded to a
+    FINE_CHUNK multiple (padding repeats the last block's starts; padded
+    blocks emit zero quals).
+    """
+    return _match_coarse_impl(feats_a, len_a, feats_v, len_v)
+
+
+@partial(jax.jit, static_argnames=())
+def match_coarse_pair(feats_av, len_a, len_v):
+    """match_coarse on a combined (2, 5, Npad) upload ([0] = audio/
+    description features, [1] = video): the batch path ships BOTH streams
+    as one device_put, paying one tunnel round trip + one serialization
+    pass per pair instead of two."""
+    return _match_coarse_impl(feats_av[0], len_a, feats_av[1], len_v)
 
 
 @partial(jax.jit, static_argnames=())
@@ -572,10 +585,13 @@ def concat_chunks_with_starts(chunks, starts_tracks):
     round trip per pair (the separate starts pull was a second ~26 ms
     round trip on the tunneled link). Split back by api's batch consumer.
     """
-    packed = jnp.concatenate(chunks, axis=0)            # (B_pad, W)
+    packed = jnp.concatenate(chunks, axis=0)            # (nb, W)
     st16 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks).astype(jnp.int32),
         jnp.int16)                                      # (B_pad, T, 2)
+    # chunks may have been trimmed to the true block count (all-zero
+    # padding rows dropped before the pull); starts rows follow suit
+    st16 = st16[:packed.shape[0]]
     return jnp.concatenate(
         [packed, st16.reshape(st16.shape[0], -1)], axis=1)
 
@@ -586,6 +602,17 @@ def match_stream(dev_a, len_a, dev_v, len_v):
     a list of async device (quals, offs) pairs in audio order. Everything
     is dispatched without a single host sync - the caller pulls results."""
     state = match_coarse(dev_a, len_a, dev_v, len_v)
+    return _dispatch_stream(state, dev_a.shape[1])
+
+
+def match_stream_pair(dev_av, len_a, len_v):
+    """match_stream off one combined (2, 5, Npad) upload (see
+    match_coarse_pair)."""
+    state = match_coarse_pair(dev_av, len_a, len_v)
+    return _dispatch_stream(state, dev_av.shape[2])
+
+
+def _dispatch_stream(state, npad):
     starts_tracks = state[6]                          # (T, B_pad) on device
     b_pad = starts_tracks.shape[1]
     if b_pad % FINE_CHUNK != 0:
@@ -595,13 +622,27 @@ def match_stream(dev_a, len_a, dev_v, len_v):
             f"coarse padding {b_pad} is not a multiple of "
             f"FINE_CHUNK={FINE_CHUNK} (stale jit trace?)")
     n_chunks = b_pad // FINE_CHUNK
-    nb = nb_for(dev_a.shape[1])
+    nb = nb_for(npad)
     chunks = []
     for c in range(n_chunks):
-        chunks.append(match_fine_chunk(
+        chunk = match_fine_chunk(
             state[0], state[1], state[2], state[3], state[4], state[5],
-            starts_tracks, jnp.int32(c * FINE_CHUNK), jnp.int32(nb)))
+            starts_tracks, jnp.int32(c * FINE_CHUNK), jnp.int32(nb))
+        # blocks >= nb are chunk padding and emit all-zero rows (see
+        # match_fine_chunk's nb_valid gate); trim them on device so the
+        # D2H pull ships only real blocks - up to FINE_CHUNK-1 rows
+        # (~10% of the payload at 27-min scale) for free. `nb` is static
+        # per shape bucket, so the slice is one cached compile.
+        rows = min(FINE_CHUNK, nb - c * FINE_CHUNK)
+        if rows < FINE_CHUNK:
+            chunk = _trim_rows(chunk, rows)
+        chunks.append(chunk)
     return chunks, starts_tracks, n_chunks
+
+
+@partial(jax.jit, static_argnames=('rows',))
+def _trim_rows(chunk, rows):
+    return chunk[:rows]
 
 
 def _abs_vids(offs, starts):

@@ -441,10 +441,11 @@ inline int64_t packed_row_words(int64_t k) {
 }
 }  // namespace
 
-int lis_stream_feed_packed(void* ctx, const int16_t* packed,
-                           const int32_t* starts, int64_t nb, int64_t blk,
-                           int64_t k1, int64_t k2, int64_t n_groups,
-                           int64_t a_base) {
+int lis_stream_feed_packed_strided(void* ctx, const int16_t* packed,
+                                   int64_t row_stride_words,
+                                   const int32_t* starts, int64_t nb,
+                                   int64_t blk, int64_t k1, int64_t k2,
+                                   int64_t n_groups, int64_t a_base) {
   if (!ctx || k1 + k2 > 64 || n_groups < 2 || k1 % 4 != 0 || k2 % 4 != 0)
     return 1;
   if (blk % 2 != 0) return 1;
@@ -457,10 +458,11 @@ int lis_stream_feed_packed(void* ctx, const int16_t* packed,
   const int64_t row2 = packed_row_words(k2);
   const int64_t n1 = blk * row1;             // band-1 words per block
   const int64_t rowlen = n1 + (blk / 2) * row2;
+  if (row_stride_words < rowlen) return 1;
   Cand cands[64];
   for (int64_t b = 0; b < nb; ++b) {
     const int32_t* base = starts + b * n_groups;
-    const int16_t* prow = packed + b * rowlen;
+    const int16_t* prow = packed + b * row_stride_words;
     for (int64_t l = 0; l < blk; ++l) {
       int m = 0;
       const uint8_t* f1 =
@@ -495,6 +497,17 @@ int lis_stream_feed_packed(void* ctx, const int16_t* packed,
     }
   }
   return 0;
+}
+
+// contiguous-row convenience wrapper (rows exactly rowlen words apart)
+int lis_stream_feed_packed(void* ctx, const int16_t* packed,
+                           const int32_t* starts, int64_t nb, int64_t blk,
+                           int64_t k1, int64_t k2, int64_t n_groups,
+                           int64_t a_base) {
+  const int64_t rowlen = blk * packed_row_words(k1)
+                         + (blk / 2) * packed_row_words(k2);
+  return lis_stream_feed_packed_strided(ctx, packed, rowlen, starts, nb,
+                                        blk, k1, k2, n_groups, a_base);
 }
 
 // number of candidates inserted so far (an upper bound on the path length,

@@ -47,12 +47,14 @@ def main():
         results = [None] * b
         in_flight = threading.Semaphore(max(2, device_depth + 1))
 
-        def consume(packed_dev, starts_dev, fa, fv, na, nv, i):
+        def consume(combo_dev, w_st, fa, fv, na, nv, i):
             try:
                 t0, c0 = time.time(), time.process_time()
-                packed = np.asarray(packed_dev)
-                starts = np.asarray(starts_dev)
+                buf = np.asarray(combo_dev)
                 t0, c0 = ev('pull', i, t0, c0)
+                starts = np.ascontiguousarray(
+                    buf[:, -w_st:]).view(np.int32).T
+                packed = buf[:, :-w_st]          # strided in-place feed
                 y, x = api._consume_stream(iter([packed]), starts)
                 t0, c0 = ev('lis', i, t0, c0)
                 r = api._host_stages_from_path(y, x, fa, fv, na, nv,
@@ -77,18 +79,20 @@ def main():
                            api._bucket_pad(sa // 210))
                 fv, nv = api.host_features_padded(v, sv, npad)
                 t0, c0 = ev('feat_v', i, t0, c0)
-                dev_v = jax.device_put(fv.astype(np.float16))
-                t0, c0 = ev('h2d_v', i, t0, c0)
                 fa, na = api.host_features_padded(a, sa, npad)
                 t0, c0 = ev('feat_a', i, t0, c0)
-                dev_a = jax.device_put(fa.astype(np.float16))
-                t0, c0 = ev('h2d_a', i, t0, c0)
-                chunks, starts_dev, _ = matching.match_stream(dev_a, na,
-                                                              dev_v, nv)
-                packed_dev = (chunks[0] if len(chunks) == 1
-                              else matching.concat_chunks(chunks))
+                fav = np.empty((2, 5, npad), np.float16)
+                fav[0] = fa
+                fav[1] = fv
+                dev_av = jax.device_put(fav)
+                t0, c0 = ev('h2d', i, t0, c0)
+                chunks, starts_dev, _ = matching.match_stream_pair(
+                    dev_av, na, nv)
+                combo_dev = matching.concat_chunks_with_starts(chunks,
+                                                               starts_dev)
                 t0, c0 = ev('dispatch', i, t0, c0)
-                futs.append((i, pool.submit(consume, packed_dev, starts_dev,
+                futs.append((i, pool.submit(consume, combo_dev,
+                                            2 * starts_dev.shape[0],
                                             fa, fv, na, nv, i)))
             for i, f in futs:
                 results[i] = f.result()

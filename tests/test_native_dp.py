@@ -171,6 +171,19 @@ def test_feed_split_equals_full_rate_feed():
     np.testing.assert_array_equal(v1, v3)
     np.testing.assert_array_equal(a1, a3)
 
+    # a leading-columns VIEW of a wider buffer (the batch path's combined
+    # transport rows carry trailing bitcast band starts) feeds in place
+    # through the strided native entry - identical chain, no copy
+    wide = np.concatenate(
+        [packed, np.full((packed.shape[0], 6), -7, np.int16)], axis=1)
+    view = wide[:, :-6]
+    assert view.base is wide and not view.flags['C_CONTIGUOUS']
+    with lis.LisStream(key_bound) as s4:
+        s4.feed_packed(view, starts, a_base=420, blk=blk, k1=k1, k2=k2)
+        v4, a4 = s4.finish()
+    np.testing.assert_array_equal(v1, v4)
+    np.testing.assert_array_equal(a1, a4)
+
     # the device packer produces this exact buffer, and _unpack_chunk
     # inverts it
     dev_packed = np.asarray(matching._pack_slots(jnp2.asarray(q1),
