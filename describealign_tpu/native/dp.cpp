@@ -42,7 +42,9 @@ struct BitFrontier {
   int64_t cap;                       // keys in [0, cap)
   std::vector<uint64_t> l0, l1, l2;  // l0 bit k = key k occupied
   std::vector<double> cum;
-  std::vector<int64_t> node;
+  // node ids fit i32 (candidate count is bounded far below 2^31); the
+  // narrower array keeps more of the latency-bound frontier in cache
+  std::vector<int32_t> node;
 
   explicit BitFrontier(int64_t cap_) : cap(cap_) {
     const int64_t n0 = (cap + 63) / 64;
@@ -57,7 +59,7 @@ struct BitFrontier {
 
   inline void set(int64_t k, double c, int64_t nd) {
     cum[static_cast<size_t>(k)] = c;
-    node[static_cast<size_t>(k)] = nd;
+    node[static_cast<size_t>(k)] = static_cast<int32_t>(nd);
     l0[static_cast<size_t>(k >> 6)] |= 1ull << (k & 63);
     l1[static_cast<size_t>(k >> 12)] |= 1ull << ((k >> 6) & 63);
     l2[static_cast<size_t>(k >> 18)] |= 1ull << ((k >> 12) & 63);
@@ -145,7 +147,10 @@ struct BitFrontier {
 // order) feed one frontier, so the host DP can run while later chunks are
 // still computing on the device / in flight on the link.
 struct LisStream {
-  struct Node { int64_t v, a; int64_t prev; };
+  // 12 B/node: v < 2^28 (the frontier key cap), a and prev bounded far
+  // below 2^31 - half the push_back traffic of the i64 triple at the
+  // ~2M-candidate media scale
+  struct Node { int32_t v, a, prev; };
   std::vector<Node> nodes;
   BitFrontier best;
   explicit LisStream(int64_t cap) : best(cap) {
@@ -155,11 +160,14 @@ struct LisStream {
   }
 };
 
-struct Cand { int64_t v; double q; };
+// 8 B/candidate: v < 2^28 (frontier cap) and q is a decoded f16-grid
+// value, exact in f32 (the f64 chain sums promote losslessly), so the
+// per-frame insertion sort shuffles half the bytes
+struct Cand { int32_t v; float q; };
 
 // insert into a (v, q)-ascending insertion-sorted candidate array
 inline void cand_add(Cand* cands, int& m, int64_t v, double q) {
-  Cand c{v, q};
+  Cand c{static_cast<int32_t>(v), static_cast<float>(q)};
   int p = m++;
   while (p > 0 && (cands[p - 1].v > c.v ||
                    (cands[p - 1].v == c.v && cands[p - 1].q > c.q))) {
@@ -177,6 +185,7 @@ inline void cand_add(Cand* cands, int& m, int64_t v, double q) {
 inline bool lis_frame(LisStream& st, const Cand* cands, int m, int64_t a) {
   BitFrontier& best = st.best;
   const int64_t cap = best.cap;
+  if (a > 0x7fffffff) return false;  // i32 node fields (≈2840 h of audio)
   // the frontier's cum/node/l0 arrays are several MB at media scale, so
   // each candidate's pred/succ walk is LLC-latency-bound; issuing all of
   // the frame's lookups up front shaves a few % on the production-shaped
@@ -209,7 +218,8 @@ inline bool lis_frame(LisStream& st, const Cand* cands, int m, int64_t a) {
       best.clear(sk);
       sk = nxt;
     }
-    st.nodes.push_back({v, a, prev_node});
+    st.nodes.push_back({static_cast<int32_t>(v), static_cast<int32_t>(a),
+                        static_cast<int32_t>(prev_node)});
     best.set(key, cum, static_cast<int64_t>(st.nodes.size()) - 1);
   }
   return true;
@@ -566,23 +576,33 @@ int refine_dp(const double* pj, const int64_t* pc, const double* pq,
               int64_t num_clusters, int64_t num_video,
               double* out_path, int64_t* out_len) {
   const double NEG_INF = -std::numeric_limits<double>::infinity();
-  struct Node5 { double j, i, c, q, cum; int64_t prev; };
+  struct Node5 { double j, q, cum; int32_t i, c, prev; };  // 32 B
   std::vector<Node5> nodes;
-  nodes.push_back({0, 0, -1, 0, 0, -1});  // sentinel
+  nodes.push_back({0, 0, 0, 0, -1, -1});  // sentinel
 
-  struct Entry { double j, i, c, q, cum; int64_t node; };
-  std::multimap<double, Entry> best;  // key: video position j
-  best.insert({0.0, {0, 0, -1, 0, 0, 0}});
+  // jump-entry frontier keyed by video position. Only (cum, node) are
+  // ever read back, so entries carry nothing else (the reference's rows
+  // hold whole points; the dead fields tripled the tree's payload).
+  // A flat sorted vector was tried and measured 4x SLOWER on the
+  // production-shaped microbench: the frontier grows to thousands of
+  // live entries on multi-cluster media, and every insert's memmove
+  // beats the tree's pointer walk.
+  struct Entry { double cum; int64_t node; };
+  std::multimap<double, Entry> best;
+  best.insert({0.0, {0.0, 0}});
 
-  struct ClusterBest { double j, i, q, cum; int64_t node; };
+  struct ClusterBest { double j, i, cum; int64_t node; };
   std::vector<ClusterBest> clusters_best(
-      static_cast<size_t>(num_clusters), {0, 0, 0, -1000, 0});
+      static_cast<size_t>(num_clusters), {0, 0, -1000, 0});
 
-  // prev_cache[video_int] = last node placed at that integer video position
-  struct CacheEntry { double j, i, c, q, cum; int64_t node; bool set; };
-  std::vector<CacheEntry> prev_cache(static_cast<size_t>(num_video),
-                                     {0, 0, 0, 0, NEG_INF, -1, false});
-  prev_cache[0] = {0, 0, -1, 0, 0, 0, true};
+  // prev_cache[video_int] = last node placed at that integer video
+  // position; node < 0 marks unset. 32 B/entry - only the fields the
+  // local-jump arbitration reads (the reference's cache rows carry the
+  // whole point, but only j, i, cluster, cum, node are consumed).
+  struct CacheEntry { double j; double cum; int32_t i, c, node; };
+  std::vector<CacheEntry> prev_cache(
+      static_cast<size_t>(num_video), {0, NEG_INF, 0, 0, -1});
+  prev_cache[0] = {0, 0, 0, -1, 0};
 
   // forward_min[i] = min video pos among points at frames >= i
   std::vector<double> forward_min(static_cast<size_t>(num_audio) + 1,
@@ -600,38 +620,38 @@ int refine_dp(const double* pj, const int64_t* pc, const double* pq,
       const double q = pq[t];
 
       auto it = best.upper_bound(j);
-      auto prev = std::prev(it);
-      double bj = prev->second.j, bi = prev->second.i, bc = prev->second.c,
-             bq = prev->second.q, bcum = prev->second.cum;
+      auto prev = std::prev(it);            // last entry with key <= j
+      double bcum = prev->second.cum;
       int64_t bnode = prev->second.node;
 
       const ClusterBest& cl = clusters_best[cluster];
       if (cl.cum >= bcum) {
-        bj = cl.j; bi = cl.i; bq = cl.q; bcum = cl.cum;
-        bc = static_cast<double>(cluster);
+        bcum = cl.cum;
         bnode = cl.node;
       }
       const int64_t ji = static_cast<int64_t>(j);
       for (int64_t p = std::max<int64_t>(0, ji - 2); p <= ji; ++p) {
-        if (!prev_cache[p].set) continue;
-        CacheEntry node = prev_cache[p];
+        const CacheEntry node = prev_cache[static_cast<size_t>(p)];
+        if (node.node < 0) continue;
         double cum = node.cum;
-        if (static_cast<double>(cluster) != node.c) {
-          const double d = (j - node.j) - (i - node.i);
+        if (cluster != static_cast<int64_t>(node.c)) {
+          const double d = (j - node.j) - static_cast<double>(i - node.i);
           cum -= 100.0 + 100.0 * d * d;
         }
         if (node.i >= (i - 2) && node.j <= j && cum >= bcum) {
-          bj = node.j; bi = node.i; bc = node.c; bq = node.q; bcum = cum;
+          bcum = cum;
           bnode = node.node;
         }
       }
 
       const double cum = bcum + q;
-      nodes.push_back({j, static_cast<double>(i),
-                       static_cast<double>(cluster), q, cum, bnode});
+      nodes.push_back({j, q, cum, static_cast<int32_t>(i),
+                       static_cast<int32_t>(cluster),
+                       static_cast<int32_t>(bnode)});
       const int64_t node_id = static_cast<int64_t>(nodes.size()) - 1;
-      prev_cache[ji] = {j, static_cast<double>(i), static_cast<double>(cluster),
-                        q, cum, node_id, true};
+      prev_cache[static_cast<size_t>(ji)] =
+          {j, cum, static_cast<int32_t>(i), static_cast<int32_t>(cluster),
+           static_cast<int32_t>(node_id)};
 
       // NOTE: 'prev' stays valid below: erasures start at 'it' (> prev) and
       // insertion does not invalidate multimap iterators.
@@ -641,9 +661,7 @@ int refine_dp(const double* pj, const int64_t* pc, const double* pq,
         while (it != best.end() && it->second.cum <= cum_jump) {
           it = best.erase(it);
         }
-        best.insert(it, {j, {j, static_cast<double>(i),
-                             static_cast<double>(cluster), q, cum_jump,
-                             node_id}});
+        best.insert(it, {j, {cum_jump, node_id}});
       }
       if (forward_min[i] == j && prev != best.begin()) {
         // prune entries strictly before the old last-<=-j entry (reference
@@ -652,7 +670,7 @@ int refine_dp(const double* pj, const int64_t* pc, const double* pq,
       }
       const double cum_cluster = cum - 50.0;
       if (cl.cum < cum_cluster) {
-        clusters_best[cluster] = {j, static_cast<double>(i), q, cum_cluster,
+        clusters_best[cluster] = {j, static_cast<double>(i), cum_cluster,
                                   node_id};
       }
     }

@@ -472,6 +472,42 @@ void downsample_blur(const float* x, int64_t n, int ds, int blur,
     int64_t klo = base < 0 ? -base : 0;
     int64_t khi = W < m - base ? W : m - base;
     const float* xp = x + base;
+    float s;
+#ifdef DA_AVX512
+    // plain contiguous dot (w and xp both walk k): 4 ZMM accumulator
+    // chains reach FMA throughput; the gcc-autovectorized 32-float
+    // accumulator form measured ~2x slower on the 630-tap band-0 FIR
+    {
+      __m512 a0 = _mm512_setzero_ps(), a1 = _mm512_setzero_ps();
+      __m512 a2 = _mm512_setzero_ps(), a3 = _mm512_setzero_ps();
+      int64_t k = klo;
+      for (; k + 64 <= khi; k += 64) {
+        a0 = _mm512_fmadd_ps(_mm512_loadu_ps(&w[static_cast<size_t>(k)]),
+                             _mm512_loadu_ps(xp + k), a0);
+        a1 = _mm512_fmadd_ps(
+            _mm512_loadu_ps(&w[static_cast<size_t>(k + 16)]),
+            _mm512_loadu_ps(xp + k + 16), a1);
+        a2 = _mm512_fmadd_ps(
+            _mm512_loadu_ps(&w[static_cast<size_t>(k + 32)]),
+            _mm512_loadu_ps(xp + k + 32), a2);
+        a3 = _mm512_fmadd_ps(
+            _mm512_loadu_ps(&w[static_cast<size_t>(k + 48)]),
+            _mm512_loadu_ps(xp + k + 48), a3);
+      }
+      for (; k + 16 <= khi; k += 16)
+        a0 = _mm512_fmadd_ps(_mm512_loadu_ps(&w[static_cast<size_t>(k)]),
+                             _mm512_loadu_ps(xp + k), a0);
+      if (k < khi) {
+        const __mmask16 tm =
+            static_cast<__mmask16>((1u << (khi - k)) - 1);
+        a1 = _mm512_fmadd_ps(
+            _mm512_maskz_loadu_ps(tm, &w[static_cast<size_t>(k)]),
+            _mm512_maskz_loadu_ps(tm, xp + k), a1);
+      }
+      s = _mm512_reduce_add_ps(
+          _mm512_add_ps(_mm512_add_ps(a0, a1), _mm512_add_ps(a2, a3)));
+    }
+#else
     // 32 accumulators in 4 independent 8-lane groups: gcc will not
     // vectorize a plain float reduction without -ffast-math, and a single
     // vector accumulator is FMA-LATENCY-bound (one dependency chain);
@@ -484,11 +520,12 @@ void downsample_blur(const float* x, int64_t n, int ds, int blur,
     for (; k + 8 <= khi; k += 8)
       for (int u = 0; u < 8; ++u)
         acc[u] += w[static_cast<size_t>(k + u)] * xp[k + u];
-    float s = 0.f;
+    s = 0.f;
     for (int g = 0; g < 32; g += 8)
       s += ((acc[g] + acc[g + 1]) + (acc[g + 2] + acc[g + 3]))
            + ((acc[g + 4] + acc[g + 5]) + (acc[g + 6] + acc[g + 7]));
     for (; k < khi; ++k) s += w[static_cast<size_t>(k)] * xp[k];
+#endif
     out[static_cast<size_t>(j)] = s;
   }
   if (band_energy) {
