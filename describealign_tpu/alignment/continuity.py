@@ -111,8 +111,6 @@ def compress_path(x, y, run=70, err_threshold=3.0):
     # sequence matches the reference loop exactly, including its tail
     # handling when the loop body is empty
     starts = np.arange(10, max(len(x) - run - 10, 10), run)
-    pieces_x = [x[:10]]
-    pieces_y = [y[:10]]
     if len(starts):
         ok = np.abs(err_y) < err_threshold
         csum = np.concatenate([[0], np.cumsum(ok)])
@@ -122,25 +120,48 @@ def compress_path(x, y, run=70, err_threshold=3.0):
             idx = fstarts[:, None] + np.arange(run)[None, :]
             mean_x = np.mean(x[idx], axis=1)   # row-wise == per-slice mean
             mean_y = np.mean(y[idx], axis=1)
-        fi = 0
-        for k in range(len(starts)):
-            s = starts[k]
-            if flags[k]:
-                pieces_x.append(mean_x[fi:fi + 1])
-                pieces_y.append(mean_y[fi:fi + 1])
-                fi += 1
-            else:
-                pieces_x.append(x[s:s + run])
-                pieces_y.append(y[s:s + run])
         last = starts[-1]
+        # assemble into preallocated outputs (the per-run list-of-pieces +
+        # concatenate paid ~2 us per piece across ~5k runs); flagged runs
+        # write one mean, and only the usually-rare unflagged runs loop
+        pos = np.empty(len(starts) + 1, np.int64)
+        pos[0] = 10
+        np.cumsum(np.where(flags, 1, run), out=pos[1:])
+        pos[1:] += 10
+        tail_n = len(x[last + run:last + 2 * run])
+        cx = np.empty(pos[-1] + tail_n)
+        cy = np.empty_like(cx)
+        cx[:10] = x[:10]
+        cy[:10] = y[:10]
+        fpos = pos[:-1][flags]
+        if len(fstarts):
+            cx[fpos] = mean_x
+            cy[fpos] = mean_y
+        for k in np.flatnonzero(~flags):
+            p, s = pos[k], starts[k]
+            cx[p:p + run] = x[s:s + run]
+            cy[p:p + run] = y[s:s + run]
+        cx[pos[-1]:] = x[last + run:last + 2 * run]
+        cy[pos[-1]:] = y[last + run:last + 2 * run]
     else:
         last = 10 - run
-    pieces_x.append(x[last + run:last + 2 * run])
-    pieces_y.append(y[last + run:last + 2 * run])
-    cx = np.concatenate(pieces_x)
-    cy = np.concatenate(pieces_y)
+        cx = np.concatenate([x[:10], x[last + run:last + 2 * run]])
+        cy = np.concatenate([y[:10], y[last + run:last + 2 * run]])
     # dedupe: average video indices of equal audio indices, preserving the
     # first-occurrence order (reference 760-767)
+    if len(cx) > 1 and np.all(np.diff(cx) >= 0):
+        # cx is non-decreasing by construction (the LIS path's audio
+        # frames are, and each run's mean stays within the run's range),
+        # so equal values sit in contiguous groups: segmented sums replace
+        # np.unique's sort + the notoriously slow np.add.at, with the
+        # identical left-to-right accumulation order (bit-equal means).
+        # The general branch below stays as the fallback for the
+        # theoretical non-monotone case.
+        starts_g = np.concatenate(
+            [[0], np.flatnonzero(np.diff(cx) != 0) + 1])
+        sums = np.add.reduceat(cy, starts_g)
+        counts = np.diff(np.concatenate([starts_g, [len(cx)]]))
+        return cx[starts_g], sums / counts
     x_unique, first_idx, inverse = np.unique(cx, return_index=True,
                                              return_inverse=True)
     sums = np.zeros(len(x_unique))

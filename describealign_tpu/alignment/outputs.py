@@ -20,9 +20,20 @@ def similarity_and_nodes(path, num_audio, num_video,
     """
     y, x, cluster_indices, quals, _ = path.T
 
+    def _n_unique(v):
+        # path coordinates are (near-)monotone: count group boundaries
+        # instead of paying np.unique's sort; fall back for the rare
+        # non-monotone video sequence (within-cluster backward jumps)
+        if len(v) < 2:
+            return len(v)
+        d = np.diff(v)
+        if np.all(d >= 0):
+            return 1 + int(np.count_nonzero(d))
+        return len(np.unique(v))
+
     nondesc = (quals == 0) | (quals > .3)
-    sim_x = len(np.unique(x[nondesc])) / num_audio
-    sim_y = len(np.unique(y[nondesc])) / num_video
+    sim_x = _n_unique(x[nondesc]) / num_audio
+    sim_y = _n_unique(y[nondesc]) / num_video
     similarity_percent = 100 * max(sim_x, sim_y)
 
     parts = []
