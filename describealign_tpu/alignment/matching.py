@@ -62,11 +62,15 @@ DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
 # corner-cut ~8-12 s segments on music-bed content, where repetitive tonal
 # ridges raise every lane's floor score and shrink the true lane's margin
 # to ~0.2-0.5/block (round-3 campaign draws 4/11/25 - pinned in
-# tests/test_reference_parity.py music-bed cases). At 2.0, two jumps
-# amortize over ~2 s of clean content or ~8-10 s of heavily bedded
-# content, and the 28-draw randomized campaign shows no spurious-jump
-# regressions (the fine gates + LIS arbitrate ridge excursions).
-DP_JUMP_COST = 2.0
+# tests/test_reference_parity.py music-bed cases); 2.0 still corner-cut a
+# 10-s FIRST segment under a 0.41-ratio bed whose ridges tied the true
+# lane's score (campaign seed 20260818 draw 17, pinned likewise - both
+# k-best tracks chose ridges, so only cheaper jumps recover short
+# segments the margin can't amortize). At 1.0 that draw recovers exactly,
+# and re-runs of all three campaign seeds (25+40+30 draws, music beds
+# included) show no spurious-jump regressions (the fine gates + LIS
+# arbitrate ridge excursions).
+DP_JUMP_COST = 1.0
 
 
 def _fine_kernel_mode():

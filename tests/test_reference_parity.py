@@ -223,3 +223,25 @@ def test_parity_music_bed_short_segments(ref):
     audio = _quantize(np.concatenate(pieces))
     r, o = _run_both(ref, video, audio)
     _assert_mapping_parity(r, o, np.linspace(10, 80, 45))
+
+
+def test_parity_music_bed_short_first_segment(ref):
+    """Campaign seed-20260818 draw-17 regression: a 10-s FIRST segment
+    (short lead, one early skip) under a 0.41-ratio music bed whose
+    ridges TIE the true lane's coarse score. Both k-best tracks chose
+    ridge lanes for the opening blocks and the whole first segment was
+    dropped (5.6-s map error) until DP_JUMP_COST dropped to 1.0 - only
+    cheaper jumps recover short segments whose per-block margin over the
+    bed floor cannot amortize the jump. Reproduces the draw's structure:
+    5.06-s lead, skip at 10.02 s for 5.57 s, bed ratio 0.41."""
+    from describealign_tpu.utils.synthmedia import music_bed
+    content = speech_like(86.15, seed=917) + 0.41 * music_bed(86.15,
+                                                              seed=1417)
+    video = _quantize(content)
+    pieces = [speech_like(5.06, seed=2417, amp=5000.0),
+              content[:int(10.02 * SR)],
+              speech_like(5.57, seed=3417, amp=5000.0),
+              content[int(10.02 * SR):]]
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(6, 96, 45))
