@@ -80,6 +80,31 @@ def get_continuity_err(x, y, deriv=False):
 
 
 def continuity_filter(x, y, threshold=3.0):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    lib = native_lib()
+    if (lib is not None and hasattr(lib, 'continuity_filter_f64')
+            and x.flags.c_contiguous and y.flags.c_contiguous
+            and len(x) == len(y)):
+        # one fused native pass (4 convs + err + compaction); bit-equal to
+        # the numpy chain below (same conv kernel, same expression order)
+        taps = np.ascontiguousarray(_half_hann_taps(), np.float64)
+        out_x = np.empty_like(x)
+        out_y = np.empty_like(y)
+        out_n = ctypes.c_longlong(0)
+        rc = lib.continuity_filter_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_longlong(len(x)),
+            taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_longlong(len(taps)), ctypes.c_longlong(_HALF),
+            ctypes.c_double(threshold),
+            out_x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(out_n))
+        if rc == 0:
+            m = out_n.value
+            return out_x[:m].copy(), out_y[:m].copy()
     keep = get_continuity_err(x, y) < threshold
     return x[keep], y[keep]
 

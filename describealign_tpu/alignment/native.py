@@ -102,6 +102,7 @@ def native_lib():
             lib.tv1d_weighted.restype = ctypes.c_int
             lib.extract_features_i16.restype = ctypes.c_int
             lib.conv_f64.restype = ctypes.c_int
+            lib.continuity_filter_f64.restype = ctypes.c_int
             lib.round_decimals6_f64.restype = ctypes.c_int
             lib.pv_phase_lock.restype = ctypes.c_int
             _LIB = lib

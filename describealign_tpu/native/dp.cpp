@@ -957,5 +957,73 @@ int refine_offset_stats(const float* audio_scaled, int64_t na,
   return 0;
 }
 
+// defined in features.cpp (same shared library)
+int conv_f64(const double* x, int64_t n, const double* taps, int64_t t,
+             int np_mode, double* out);
+
+// Fused pass-1 continuity filter (alignment/continuity.py semantics,
+// reference describealign.py:702-731): forward/backward half-hann local
+// linear fits, per-point distance to the better line, keep err <
+// threshold. One call replaces 4 conv calls + ~10 media-length numpy
+// passes + 2 fancy-index compactions; every element follows the numpy
+// expression order exactly (same conv kernel, same divide/multiply/
+// subtract sequence), so outputs are bit-equal to the python path using
+// native convs.
+//   x, y: (n,) f64 match path; taps: the HALF-hann kernel (t entries,
+//   forward order); half: the slope baseline spacing (10); threshold:
+//   the keep gate. out_x/out_y: caller buffers of capacity n.
+int continuity_filter_f64(const double* x, const double* y, int64_t n,
+                          const double* taps, int64_t t, int64_t half,
+                          double threshold, double* out_x, double* out_y,
+                          int64_t* out_n) {
+  const int64_t fd = t + half - 1;          // _FIT_DELAY (29 for t=20)
+  if (t < 1 || half < 1 || n < fd + 2) return 1;
+  const int64_t m = n - t + 1;              // 'valid' conv length
+  if (m <= half) return 1;
+  std::vector<double> xf(m), yf(m), xp(m), yp(m), rtaps(t);
+  for (int64_t k = 0; k < t; ++k) rtaps[static_cast<size_t>(k)] =
+      taps[t - 1 - k];
+  if (conv_f64(x, n, taps, t, 0, xf.data()) != 0) return 1;
+  if (conv_f64(y, n, taps, t, 0, yf.data()) != 0) return 1;
+  if (conv_f64(x, n, rtaps.data(), t, 0, xp.data()) != 0) return 1;
+  if (conv_f64(y, n, rtaps.data(), t, 0, yp.data()) != 0) return 1;
+
+  const int64_t ms = m - half;              // slope/offset vector length
+  int64_t w = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    double err = std::numeric_limits<double>::infinity();
+    if (i < n - fd) {
+      // forward fit: slopes_fut[i] * x[i] + offsets_fut[i] - y[i]
+      const double sf = (yf[static_cast<size_t>(i + half)]
+                         - yf[static_cast<size_t>(i)])
+                        / (xf[static_cast<size_t>(i + half)]
+                           - xf[static_cast<size_t>(i)]);
+      const double of = yf[static_cast<size_t>(i)]
+                        - xf[static_cast<size_t>(i)] * sf;
+      err = std::fabs(sf * x[i] + of - y[i]);
+    }
+    if (i >= fd) {
+      const int64_t k = i - fd;             // index into the past vectors
+      if (k < ms) {
+        const double sp = (yp[static_cast<size_t>(k + half)]
+                           - yp[static_cast<size_t>(k)])
+                          / (xp[static_cast<size_t>(k + half)]
+                             - xp[static_cast<size_t>(k)]);
+        const double op = yp[static_cast<size_t>(k + half)]
+                          - xp[static_cast<size_t>(k + half)] * sp;
+        const double e2 = std::fabs(sp * x[i] + op - y[i]);
+        err = e2 < err ? e2 : err;
+      }
+    }
+    if (err < threshold) {
+      out_x[w] = x[i];
+      out_y[w] = y[i];
+      ++w;
+    }
+  }
+  *out_n = w;
+  return 0;
+}
+
 }  // extern "C"
 

@@ -60,3 +60,37 @@ def test_compress_path_collapses_clean_runs():
     np.testing.assert_allclose(np.diff(cx[10:-75])[1:-1], 70.0, atol=1e-9)
     np.testing.assert_allclose(cy - cx, 5.0, atol=1e-9)
     assert np.all(np.diff(cx) > 0)
+
+
+def test_continuity_filter_native_matches_numpy():
+    """The fused native continuity filter must be BIT-equal to the numpy
+    chain (same conv kernel, same expression order) across path shapes:
+    clean lines, jumps, outliers, and nan-producing flat spans."""
+    import os
+    import numpy as np
+    rng = np.random.default_rng(11)
+    cases = []
+    x = np.cumsum(rng.uniform(0.5, 1.5, 2000))
+    y = x * 0.98 + 7 + rng.normal(0, 0.4, len(x))
+    y[300:310] += 40.0
+    y[1200] -= 25.0
+    cases.append((x, y))
+    x2 = np.arange(400.0)
+    y2 = np.where(x2 < 200, x2, x2 + 30.0) + rng.normal(0, 0.1, 400)
+    cases.append((x2, y2))
+    x3 = np.repeat(np.arange(40.0), 2)[:60]   # duplicate x -> zero divisions
+    y3 = x3 + rng.normal(0, 0.3, len(x3))
+    cases.append((x3, y3))
+    for x, y in cases:
+        xf, yf = continuity_filter(x, y)
+        os.environ['DESCRIBEALIGN_NO_NATIVE'] = '1'
+        try:
+            # the env gate is read at lib load; force the numpy chain by
+            # calling it directly
+            from describealign_tpu.alignment.continuity import \
+                get_continuity_err
+            keep = get_continuity_err(x, y) < 3.0
+        finally:
+            del os.environ['DESCRIBEALIGN_NO_NATIVE']
+        np.testing.assert_array_equal(xf, x[keep])
+        np.testing.assert_array_equal(yf, y[keep])
