@@ -298,18 +298,61 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     b = len(pairs)
     results = [None] * b
     in_flight = threading.Semaphore(max(2, device_depth + 1))
+    use_compact = os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+
+    def _consume_dense(combo_dev, w_st, fa, fv, na, nv):
+        # one pull per pair: trailing w_st int16 words per row are the
+        # bitcast band starts (concat_chunks_with_starts)
+        buf = np.asarray(combo_dev)
+        starts_tracks = np.ascontiguousarray(
+            buf[:, -w_st:]).view(np.int32).T              # (T, B_pad)
+        # leading-columns VIEW: the strided native feed reads the
+        # packed rows in place (no second media-scale copy)
+        packed = buf[:, :-w_st]
+        y, x = _consume_stream(iter([packed]), starts_tracks)
+        return _host_stages_from_path(y, x, fa, fv, na, nv,
+                                      fit_backend, True)
 
     def consume(combo_dev, w_st, fa, fv, na, nv):
         try:
-            # one pull per pair: trailing w_st int16 words per row are the
-            # bitcast band starts (concat_chunks_with_starts)
-            buf = np.asarray(combo_dev)
-            starts_tracks = np.ascontiguousarray(
-                buf[:, -w_st:]).view(np.int32).T          # (T, B_pad)
-            # leading-columns VIEW: the strided native feed reads the
-            # packed rows in place (no second media-scale copy)
-            packed = buf[:, :-w_st]
-            y, x = _consume_stream(iter([packed]), starts_tracks)
+            return _consume_dense(combo_dev, w_st, fa, fv, na, nv)
+        finally:
+            in_flight.release()
+
+    def consume_compact(compact_dev, chunks, starts_dev, nb, fa, fv,
+                        na, nv):
+        """Compact-transport consumer: ~30% fewer D2H bytes when the
+        pair's live slots fit the provisioned budgets; on the overflow
+        flag (or a frontier cap miss) it falls back to pulling the dense
+        combo, which stays dispatchable via the kept chunk handles."""
+        try:
+            buf = np.asarray(compact_dev)                 # (L,) u8
+            lay = matching.compact_layout(nb, starts_dev.shape[0])
+            st = np.ascontiguousarray(
+                buf[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
+            starts_grouped = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
+            max_key = int(starts_grouped.max()) + 32768
+            ctx = None
+            if not buf[0] and max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
+                try:
+                    ctx = lis.LisStream(max_key)
+                except RuntimeError:
+                    ctx = None
+            if ctx is None:
+                # overflow or frontier miss: dense fallback (rare)
+                combo = matching.concat_chunks_with_starts(chunks,
+                                                           starts_dev)
+                return _consume_dense(combo, 2 * starts_dev.shape[0],
+                                      fa, fv, na, nv)
+            with ctx:
+                ctx.feed_compact(
+                    buf[slice(*lay['counts'])],
+                    buf[slice(*lay['codes1'])], buf[slice(*lay['lo1'])],
+                    buf[slice(*lay['hi1'])],
+                    buf[slice(*lay['codes2'])], buf[slice(*lay['lo2'])],
+                    buf[slice(*lay['hi2'])],
+                    starts_grouped, blk=210)
+                y, x = ctx.finish()
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True)
         finally:
@@ -334,11 +377,18 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 dev_av = jax.device_put(fav)
                 chunks, starts_dev, _ = matching.match_stream_pair(
                     dev_av, na, nv)
-                combo_dev = matching.concat_chunks_with_starts(chunks,
-                                                               starts_dev)
-                futs.append((i, pool.submit(consume, combo_dev,
-                                            2 * starts_dev.shape[0],
-                                            fa, fv, na, nv)))
+                if use_compact and starts_dev.shape[0] == 2:
+                    compact_dev = matching.concat_chunks_compact(
+                        chunks, starts_dev)
+                    futs.append((i, pool.submit(
+                        consume_compact, compact_dev, chunks, starts_dev,
+                        matching.nb_for(npad), fa, fv, na, nv)))
+                else:
+                    combo_dev = matching.concat_chunks_with_starts(
+                        chunks, starts_dev)
+                    futs.append((i, pool.submit(consume, combo_dev,
+                                                2 * starts_dev.shape[0],
+                                                fa, fv, na, nv)))
             except BaseException:
                 # a failing dispatch must not leak its semaphore slot;
                 # in-flight consumes finish (and release theirs) during the

@@ -245,6 +245,41 @@ class LisStream:
         if rc != 0:
             raise RuntimeError("lis_stream_feed_packed failed")
 
+    def feed_compact(self, counts, codes1, lo1, hi1, codes2, lo2, hi2,
+                     starts, blk, a_base=0):
+        """Feed a whole pair from the compact batch transport's planes
+        (matching.concat_chunks_compact layout): per-frame counts + live-
+        prefix slot planes with globally 2-bit-packed offset highs.
+        starts: (nb, 3) i32 (band-1 half-groups must share one start)."""
+        import ctypes
+        counts = np.ascontiguousarray(counts, np.uint8)
+        starts = np.ascontiguousarray(starts, np.int32)
+        if starts.ndim != 2 or starts.shape[1] != 3:
+            raise ValueError("compact feed needs (nb, 3) starts")
+        if not np.array_equal(starts[:, 0], starts[:, 1]):
+            raise ValueError("band-1 half-group starts differ")
+        planes = [np.ascontiguousarray(p, np.uint8)
+                  for p in (codes1, lo1, hi1, codes2, lo2, hi2)]
+        nb = starts.shape[0]
+        if counts.size != nb * blk:
+            raise ValueError("counts size mismatch")
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = self._lib.lis_stream_feed_compact(
+            ctypes.c_void_p(self._ctx),
+            counts.ctypes.data_as(u8p),
+            planes[0].ctypes.data_as(u8p), planes[1].ctypes.data_as(u8p),
+            planes[2].ctypes.data_as(u8p),
+            ctypes.c_longlong(planes[0].size),
+            planes[3].ctypes.data_as(u8p), planes[4].ctypes.data_as(u8p),
+            planes[5].ctypes.data_as(u8p),
+            ctypes.c_longlong(planes[3].size),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_longlong(nb), ctypes.c_longlong(blk),
+            ctypes.c_longlong(starts.shape[1]),
+            ctypes.c_longlong(int(a_base)))
+        if rc != 0:
+            raise RuntimeError(f"lis_stream_feed_compact failed (rc={rc})")
+
     def feed_split(self, q1, o1, q2, o2, starts, a_base):
         """Feed a chunk in the split transport layout: band-1 u8 codes and
         offsets at full frame rate (nb, blk, k1) plus rescue-band codes and

@@ -600,6 +600,123 @@ def concat_chunks_with_starts(chunks, starts_tracks):
         [packed, st16.reshape(st16.shape[0], -1)], axis=1)
 
 
+# --- compacted batch transport ------------------------------------------
+# Dense transport ships every top-K slot; measured live-slot occupancy on
+# matched content is ~48% band-1 / ~69% rescue (zeros are a SUFFIX per
+# frame: top_k orders by quality and the u8 grid floor sits below the
+# gate floor, so dead slots quantize to code 0 and live ones never do).
+# The compact layout ships per-frame counts + the live prefix only, into
+# FIXED budget-sized planes (shapes stay static per bucket, one pull):
+#   [0]        overflow flag (u8)
+#   [4:4+F]    per-frame counts, c1 | c2 << 4   (F = nb*210 frames)
+#   [.. +4*T*nb] band starts, (nb, T) i32 bytes
+#   [codes1 B1][lo1 B1][hi1 B1/4]  band-1 planes (B1 = budget slots)
+#   [codes2 B2][lo2 B2][hi2 B2/4]  rescue planes
+# 2-bit offset highs pack 4 compacted slots per byte. If a pair's live
+# slots exceed a budget the flag is set and the consumer falls back to
+# the dense combo pull (kept dispatchable) - correctness never depends on
+# the budgets. ~30% fewer D2H bytes at bench occupancy.
+COMPACT_BUDGET1 = 0.625    # fraction of dense band-1 slots provisioned
+COMPACT_BUDGET2 = 0.85     # fraction of dense rescue slots provisioned
+
+
+def _compact_budgets(nb):
+    b1 = -(-int(nb * 210 * TOP_K * COMPACT_BUDGET1) // 128) * 128
+    b2 = -(-int(nb * 105 * (TOP_K // 2) * COMPACT_BUDGET2) // 128) * 128
+    return b1, b2
+
+
+def _compact_planes(codes, lo, hi2, budget):
+    """(rows, k) u8 planes -> (codes[budget], lo[budget], hi[budget//4],
+    total) with live-prefix slots packed densely across rows."""
+    rows, k = codes.shape
+    counts = jnp.sum((codes != 0).astype(jnp.int32), axis=1)   # (rows,)
+    base = jnp.cumsum(counts) - counts                          # exclusive
+    total = base[-1] + counts[-1]
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    valid = j < counts[:, None]
+    pos = base[:, None] + j                                     # (rows, k)
+    pos = jnp.where(valid, pos, budget + 1).ravel()             # drop dead
+    out_c = jnp.zeros((budget,), jnp.uint8).at[pos].set(
+        codes.ravel(), mode='drop')
+    out_l = jnp.zeros((budget,), jnp.uint8).at[pos].set(
+        lo.ravel(), mode='drop')
+    shift = (2 * (pos & 3)).astype(jnp.uint32)
+    out_h = jnp.zeros((budget // 4,), jnp.uint32).at[pos >> 2].add(
+        jnp.where(pos <= budget, hi2.ravel().astype(jnp.uint32), 0)
+        << shift, mode='drop').astype(jnp.uint8)
+    return out_c, out_l, out_h, total
+
+
+def _unpack_rows_u8(packed_u8, k):
+    """(rows, row_bytes) u8 -> (codes, lo, hi2) planes, (rows, k) each."""
+    codes = packed_u8[:, :k]
+    lo = packed_u8[:, k:2 * k]
+    hi_b = packed_u8[:, 2 * k:2 * k + (k + 3) // 4]
+    j = jnp.arange(k, dtype=jnp.int32)
+    hi2 = (hi_b[:, j // 4].astype(jnp.int32) >> (2 * (j % 4))) & 3
+    return codes, lo, hi2.astype(jnp.uint8)
+
+
+@jax.jit
+def concat_chunks_compact(chunks, starts_tracks):
+    """Batch transport, compacted: one (L,) u8 buffer per pair (see the
+    layout above). Same candidate content as concat_chunks_with_starts
+    whenever the overflow flag is 0."""
+    packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
+    nb = packed.shape[0]
+    k1 = TOP_K
+    k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
+    b1, b2 = _compact_budgets(nb)
+    row1 = _packed_row_words_py(k1)
+    row2 = _packed_row_words_py(k2)
+    by = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (nb, W, 2)
+    by = by.reshape(nb, -1)
+    band1 = by[:, :210 * row1 * 2].reshape(nb * 210, row1 * 2)
+    rescue = by[:, 210 * row1 * 2:210 * row1 * 2 + 105 * row2 * 2]
+    rescue = rescue.reshape(nb * 105, row2 * 2)
+    c1p, l1p, h1p = _unpack_rows_u8(band1, k1)
+    c2p, l2p, h2p = _unpack_rows_u8(rescue, k2)
+    oc1, ol1, oh1, t1 = _compact_planes(c1p, l1p, h1p, b1)
+    oc2, ol2, oh2, t2 = _compact_planes(c2p, l2p, h2p, b2)
+
+    cnt1 = jnp.sum((c1p != 0).astype(jnp.int32), axis=1).reshape(nb, 210)
+    cnt2 = jnp.sum((c2p != 0).astype(jnp.int32), axis=1).reshape(nb, 105)
+    cnt2_full = jnp.zeros((nb, 210), jnp.int32).at[:, ::2].set(cnt2)
+    counts = (cnt1 | (cnt2_full << 4)).astype(jnp.uint8).ravel()
+
+    flag = ((t1 > b1) | (t2 > b2)).astype(jnp.uint8)
+    header = jnp.zeros((4,), jnp.uint8).at[0].set(flag)
+    st_u8 = jax.lax.bitcast_convert_type(
+        jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
+        jnp.uint8).reshape(-1)                          # nb*T*4
+    return jnp.concatenate(
+        [header, counts, st_u8, oc1, ol1, oh1, oc2, ol2, oh2])
+
+
+def _packed_row_words_py(k):
+    return k // 2 + k // 2 + (k // 4 + 1) // 2
+
+
+def compact_layout(nb, n_tracks):
+    """Byte offsets of the compact transport's sections for a pair of nb
+    blocks: dict with counts/starts/plane slices plus the budgets."""
+    b1, b2 = _compact_budgets(nb)
+    off = {}
+    p = 4
+    off['counts'] = (p, p + nb * 210)
+    p += nb * 210
+    off['starts'] = (p, p + nb * n_tracks * 4)
+    p += nb * n_tracks * 4
+    for name, b in (('codes1', b1), ('lo1', b1), ('hi1', b1 // 4),
+                    ('codes2', b2), ('lo2', b2), ('hi2', b2 // 4)):
+        off[name] = (p, p + b)
+        p += b
+    off['total'] = p
+    off['b1'], off['b2'] = b1, b2
+    return off
+
+
 def match_stream(dev_a, len_a, dev_v, len_v):
     """Dispatch the full streaming matcher. Returns (chunk_outputs,
     starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is

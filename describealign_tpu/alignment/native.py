@@ -93,6 +93,7 @@ def native_lib():
             lib.lis_stream_feed_split.restype = ctypes.c_int
             lib.lis_stream_feed_packed.restype = ctypes.c_int
             lib.lis_stream_feed_packed_strided.restype = ctypes.c_int
+            lib.lis_stream_feed_compact.restype = ctypes.c_int
             lib.lis_stream_count.restype = ctypes.c_longlong
             lib.lis_stream_count.argtypes = [ctypes.c_void_p]
             lib.lis_stream_finish.restype = ctypes.c_int

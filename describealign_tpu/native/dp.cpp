@@ -520,6 +520,55 @@ int lis_stream_feed_packed(void* ctx, const int16_t* packed,
                                         blk, k1, k2, n_groups, a_base);
 }
 
+// Feed from the COMPACT batch transport (matching.concat_chunks_compact):
+// per-frame counts (c1 | c2 << 4; rescue counts on even frames only) and
+// live-prefix slot planes - codes/lo bytes plus globally packed 2-bit
+// offset highs (slot p's highs in byte p/4 at bit 2*(p%4)). Band-1 slots
+// use band start group 0 (the two band-1 half-groups always share one
+// start - asserted by the python caller) and rescue slots group 2, so
+// n_groups must be 3 (the production N_TRACKS=2 shape). Semantics
+// identical to lis_stream_feed_packed on the dense buffer.
+int lis_stream_feed_compact(void* ctx, const uint8_t* counts,
+                            const uint8_t* codes1, const uint8_t* lo1,
+                            const uint8_t* hi1, int64_t budget1,
+                            const uint8_t* codes2, const uint8_t* lo2,
+                            const uint8_t* hi2, int64_t budget2,
+                            const int32_t* starts, int64_t nb, int64_t blk,
+                            int64_t n_groups, int64_t a_base) {
+  if (!ctx || n_groups != 3 || blk % 2 != 0) return 1;
+  const float* table = qual_u8_table();
+  LisStream& st = *static_cast<LisStream*>(ctx);
+  Cand cands[64];
+  int64_t p1 = 0, p2 = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    const int32_t* base = starts + b * n_groups;
+    for (int64_t l = 0; l < blk; ++l) {
+      const uint8_t cb = counts[b * blk + l];
+      const int c1 = cb & 15;
+      const int c2 = cb >> 4;
+      if (p1 + c1 > budget1 || p2 + c2 > budget2) return 2;
+      if ((l & 1) && c2) return 3;        // odd frames carry no rescue
+      int m = 0;
+      for (int j = 0; j < c1; ++j, ++p1) {
+        const int64_t off = lo1[p1]
+            | ((static_cast<int64_t>(hi1[p1 >> 2] >> (2 * (p1 & 3))) & 3)
+               << 8);
+        cand_add(cands, m, base[0] + off,
+                 static_cast<double>(table[codes1[p1]]));
+      }
+      for (int j = 0; j < c2; ++j, ++p2) {
+        const int64_t off = lo2[p2]
+            | ((static_cast<int64_t>(hi2[p2 >> 2] >> (2 * (p2 & 3))) & 3)
+               << 8);
+        cand_add(cands, m, base[2] + off,
+                 static_cast<double>(table[codes2[p2]]));
+      }
+      if (!lis_frame(st, cands, m, a_base + b * blk + l)) return 1;
+    }
+  }
+  return 0;
+}
+
 // number of candidates inserted so far (an upper bound on the path length,
 // for sizing the finish() output buffers)
 int64_t lis_stream_count(void* ctx) {
@@ -861,7 +910,14 @@ int refine_score_cluster(const float* audio_scaled, int64_t na,
   if (x0 < 0 || x1 > na || x1 < x0 || nv < 2) return 1;
   const int64_t n = x1 - x0;
   constexpr int64_t BLK = 512;
-  double prod[BLK], vclip[BLK], abump[BLK];
+  // SoA staging: the only irregular work (the two interp rows at
+  // data-dependent lo) is a scalar 6-float copy per point; the f64 math
+  // then runs as plain elementwise passes the auto-vectorizer handles.
+  // Per-element expression order is unchanged, so outputs stay bit-equal.
+  alignas(64) float vrow[6][BLK];
+  alignas(64) float arow[3][BLK];
+  alignas(64) double fracb[BLK];
+  alignas(64) double prod[BLK], vclip[BLK], abump[BLK];
   for (int64_t b0 = 0; b0 < n; b0 += BLK) {
     const int64_t bn = (BLK < n - b0) ? BLK : (n - b0);
     for (int64_t i = 0; i < bn; ++i) {
@@ -870,26 +926,41 @@ int refine_score_cluster(const float* audio_scaled, int64_t na,
       double fl = std::floor(y);
       int64_t lo = static_cast<int64_t>(fl);
       lo = lo < 0 ? 0 : (lo > nv - 2 ? nv - 2 : lo);
-      const double frac = y - static_cast<double>(lo);
+      fracb[i] = y - static_cast<double>(lo);
       const float* vp = video_scaled + lo * 3;
       const float* ap = audio_scaled + x * 3;
-      double p = 1.0;
-      double v0 = 0.0;
-      for (int j = 0; j < 3; ++j) {
-        const double v = static_cast<double>(vp[j]) * (1.0 - frac)
-                         + static_cast<double>(vp[j + 3]) * frac;
-        if (j == 0) v0 = v;
-        const double d = 1e-4 + std::fabs(static_cast<double>(ap[j]) - v);
-        p *= d;
+      for (int j = 0; j < 6; ++j) vrow[j][i] = vp[j];
+      for (int j = 0; j < 3; ++j) arow[j][i] = ap[j];
+    }
+    for (int64_t i = 0; i < bn; ++i) prod[i] = 1.0;
+    for (int j = 0; j < 3; ++j) {
+      const float* v_lo = vrow[j];
+      const float* v_hi = vrow[j + 3];
+      const float* ap = arow[j];
+      if (j == 0) {
+        for (int64_t i = 0; i < bn; ++i) {
+          const double frac = fracb[i];
+          const double v = static_cast<double>(v_lo[i]) * (1.0 - frac)
+                           + static_cast<double>(v_hi[i]) * frac;
+          const double d = 1e-4
+              + std::fabs(static_cast<double>(ap[i]) - v);
+          prod[i] *= d;
+          double vc = v + 2.5 - vmax;
+          vclip[i] = vc < 0.0 ? 0.0 : (vc > 1.0 ? 1.0 : vc);
+          // the audio bump stays in f32 exactly like the numpy expression
+          // (f32 array + weak python scalars keeps f32 under NumPy 2)
+          float ac = (ap[i] + 2.5f) - static_cast<float>(amax);
+          ac = ac < 0.f ? 0.f : (ac > 1.f ? 1.f : ac);
+          abump[i] = static_cast<double>(ac * 0.1f);
+        }
+      } else {
+        for (int64_t i = 0; i < bn; ++i) {
+          const double frac = fracb[i];
+          const double v = static_cast<double>(v_lo[i]) * (1.0 - frac)
+                           + static_cast<double>(v_hi[i]) * frac;
+          prod[i] *= 1e-4 + std::fabs(static_cast<double>(ap[i]) - v);
+        }
       }
-      prod[i] = p;
-      double vc = v0 + 2.5 - vmax;
-      vclip[i] = vc < 0.0 ? 0.0 : (vc > 1.0 ? 1.0 : vc);
-      // the audio bump stays in f32 exactly like the numpy expression
-      // (f32 array + weak python scalars keeps f32 under NumPy 2 rules)
-      float ac = (ap[0] + 2.5f) - static_cast<float>(amax);
-      ac = ac < 0.f ? 0.f : (ac > 1.f ? 1.f : ac);
-      abump[i] = static_cast<double>(ac * 0.1f);
     }
     for (int64_t i = 0; i < bn; ++i) {
       out_quals[b0 + i] = (-1.5 - log10_fast(prod[i])) * vclip[i]

@@ -251,6 +251,46 @@ def test_align_batch_matches_single():
         assert abs(got[4] - want[4]) < 1e-12                    # median slope
 
 
+def test_align_batch_compact_transport_matches(monkeypatch):
+    """The compact batch transport (DESCRIBEALIGN_COMPACT=1: per-frame
+    counts + live-prefix slot planes, budget-sized) must reproduce the
+    dense transport's results exactly; with artificially tiny budgets the
+    overflow flag must route every pair through the dense fallback with
+    the same results."""
+    from describealign_tpu.alignment import matching
+    from describealign_tpu.alignment.api import align_batch_from_pcm
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    pairs = []
+    for seed in (3, 11):
+        video, audio, _ = build_pair(content_seconds=40.0, narration=(),
+                                     lead_in=6.0, seed=seed)
+        pairs.append((to_i16(video), to_i16(audio)))
+    want = align_batch_from_pcm(pairs)
+
+    monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
+    got = align_batch_from_pcm(pairs)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g[0], w[0])
+        np.testing.assert_array_equal(g[1], w[1])
+        assert g[2] == w[2] and g[4] == w[4]
+
+    # force overflow: budgets far below any real occupancy
+    monkeypatch.setattr(matching, 'COMPACT_BUDGET1', 0.01)
+    monkeypatch.setattr(matching, 'COMPACT_BUDGET2', 0.01)
+    matching.concat_chunks_compact.clear_cache()
+    try:
+        got2 = align_batch_from_pcm(pairs)
+    finally:
+        matching.concat_chunks_compact.clear_cache()
+    for g, w in zip(got2, want):
+        np.testing.assert_array_equal(g[0], w[0])
+        np.testing.assert_array_equal(g[1], w[1])
+        assert g[2] == w[2] and g[4] == w[4]
+
+
 def test_align_rate_change():
     """A 3% speed difference (PAL-style) must be recovered in the fit and
     the median slope (exercises the coarse DP's drift tracking and the

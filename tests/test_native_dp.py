@@ -184,6 +184,49 @@ def test_feed_split_equals_full_rate_feed():
     np.testing.assert_array_equal(v1, v4)
     np.testing.assert_array_equal(a1, a4)
 
+    # feed_compact (the batch compact transport) == the dense feeds: sort
+    # each frame's slots live-first (the device's top_k order guarantee),
+    # compact to counts + live-prefix planes with globally packed 2-bit
+    # offset highs, and check the chain is unchanged (per-frame candidate
+    # multisets are order-independent)
+    def sort_desc(codes, offs_):
+        order = np.argsort(-codes.astype(np.int32), axis=-1, kind='stable')
+        return (np.take_along_axis(codes, order, -1),
+                np.take_along_axis(offs_, order, -1))
+
+    c1s, o1s = sort_desc(c1, o1)
+    c2s, o2s = sort_desc(c2[:, ::2, :], o2[:, ::2, :])
+
+    def compact(codes, offs_):
+        live = codes.reshape(-1, codes.shape[-1]) != 0
+        cnt = live.sum(1)
+        cflat = codes.reshape(-1, codes.shape[-1])[live]
+        oflat = offs_.reshape(-1, offs_.shape[-1])[live].astype(np.int32)
+        hi = np.zeros((len(cflat) + 3) // 4, np.uint8)
+        p = np.arange(len(cflat))
+        np.add.at(hi, p >> 2, ((oflat >> 8) & 3).astype(np.uint8)
+                  << (2 * (p & 3)).astype(np.uint8))
+        return cnt, cflat.astype(np.uint8), (oflat & 255).astype(np.uint8), hi
+
+    cnt1, cc1, cl1, ch1 = compact(c1s, o1s)
+    cnt2, cc2, cl2, ch2 = compact(c2s, o2s)
+    counts = cnt1.reshape(nb, blk).astype(np.uint8)
+    c2full = np.zeros((nb, blk), np.uint8)
+    c2full[:, ::2] = cnt2.reshape(nb, blk // 2)
+    counts = counts | (c2full << 4)
+    starts_c = starts.copy()
+    starts_c[:, 1] = starts_c[:, 0]       # band-1 half-groups share a start
+    with lis.LisStream(key_bound) as s5:
+        s5.feed_u8(np.concatenate([c1, c2], axis=2),
+                   np.concatenate([o1, o2], axis=2), starts_c, a_base=420)
+        v5, a5 = s5.finish()
+    with lis.LisStream(key_bound) as s6:
+        s6.feed_compact(counts.ravel(), cc1, cl1, ch1, cc2, cl2, ch2,
+                        starts_c, blk=blk, a_base=420)
+        v6, a6 = s6.finish()
+    np.testing.assert_array_equal(v5, v6)
+    np.testing.assert_array_equal(a5, a6)
+
     # the device packer produces this exact buffer, and _unpack_chunk
     # inverts it
     dev_packed = np.asarray(matching._pack_slots(jnp2.asarray(q1),
