@@ -42,6 +42,8 @@ def main():
             events.append((t0 - wall0[0], t1 - wall0[0], c1 - c0, tag, i))
         return t1, c1
 
+    use_compact = os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+
     def run_once(device_depth=4, host_workers=2):
         events.clear()
         results = [None] * b
@@ -56,6 +58,36 @@ def main():
                     buf[:, -w_st:]).view(np.int32).T
                 packed = buf[:, :-w_st]          # strided in-place feed
                 y, x = api._consume_stream(iter([packed]), starts)
+                t0, c0 = ev('lis', i, t0, c0)
+                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                               'native', True)
+                ev('tail', i, t0, c0)
+                return r
+            finally:
+                in_flight.release()
+
+        def consume_compact(compact_dev, chunks, starts_dev, nb,
+                            fa, fv, na, nv, i):
+            from describealign_tpu.alignment import lis
+            try:
+                t0, c0 = time.time(), time.process_time()
+                buf = np.asarray(compact_dev)
+                t0, c0 = ev('pull', i, t0, c0)
+                lay = matching.compact_layout(nb, starts_dev.shape[0])
+                st = np.ascontiguousarray(
+                    buf[slice(*lay['starts'])]).view(np.int32).reshape(
+                        nb, -1)
+                sg = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
+                assert not buf[0], "compact overflow on the bench batch"
+                with lis.LisStream(int(sg.max()) + 32768) as ctx:
+                    ctx.feed_compact(
+                        buf[slice(*lay['counts'])],
+                        buf[slice(*lay['codes1'])],
+                        buf[slice(*lay['lo1'])], buf[slice(*lay['hi1'])],
+                        buf[slice(*lay['codes2'])],
+                        buf[slice(*lay['lo2'])], buf[slice(*lay['hi2'])],
+                        sg, blk=210)
+                    y, x = ctx.finish()
                 t0, c0 = ev('lis', i, t0, c0)
                 r = api._host_stages_from_path(y, x, fa, fv, na, nv,
                                                'native', True)
@@ -88,12 +120,20 @@ def main():
                 t0, c0 = ev('h2d', i, t0, c0)
                 chunks, starts_dev, _ = matching.match_stream_pair(
                     dev_av, na, nv)
-                combo_dev = matching.concat_chunks_with_starts(chunks,
-                                                               starts_dev)
-                t0, c0 = ev('dispatch', i, t0, c0)
-                futs.append((i, pool.submit(consume, combo_dev,
-                                            2 * starts_dev.shape[0],
-                                            fa, fv, na, nv, i)))
+                if use_compact:
+                    compact_dev = matching.concat_chunks_compact(
+                        chunks, starts_dev)
+                    t0, c0 = ev('dispatch', i, t0, c0)
+                    futs.append((i, pool.submit(
+                        consume_compact, compact_dev, chunks, starts_dev,
+                        matching.nb_for(npad), fa, fv, na, nv, i)))
+                else:
+                    combo_dev = matching.concat_chunks_with_starts(
+                        chunks, starts_dev)
+                    t0, c0 = ev('dispatch', i, t0, c0)
+                    futs.append((i, pool.submit(consume, combo_dev,
+                                                2 * starts_dev.shape[0],
+                                                fa, fv, na, nv, i)))
             for i, f in futs:
                 results[i] = f.result()
         wall = time.time() - t_start
