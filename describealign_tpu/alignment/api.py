@@ -298,7 +298,7 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     b = len(pairs)
     results = [None] * b
     in_flight = threading.Semaphore(max(2, device_depth + 1))
-    use_compact = os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+    use_compact = _use_compact()
 
     def _consume_dense(combo_dev, w_st, fa, fv, na, nv):
         # one pull per pair: trailing w_st int16 words per row are the
@@ -583,6 +583,59 @@ def _pull_threads():
     return int(os.environ.get('DESCRIBEALIGN_PULL_THREADS', '2'))
 
 
+def _use_compact():
+    """Whether the compacted candidate transport is enabled (fewer D2H
+    bytes + a live-slots-only LIS feed; dense fallback on budget
+    overflow, so correctness never depends on it)."""
+    return os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+
+
+def _consume_stream_compact(bufs_iter, dense_chunks, starts_tracks):
+    """Compact streaming consumer: per-chunk compact buffers feed the C++
+    LIS through the live-prefix entry (matching.compact_chunk layout); a
+    chunk whose live slots overflowed its budgets (header flag) falls back
+    to pulling THAT chunk's dense buffer, which is still dispatchable. If
+    the native frontier rejects the key range, degrade to the dense
+    consumer wholesale (it carries its own single-shot fallback)."""
+    starts_grouped = np.stack(
+        [starts_tracks[0], starts_tracks[0]] + list(starts_tracks[1:]),
+        axis=1).astype(np.int32)                      # (B_pad, G)
+    max_key = int(starts_grouped.max()) + 32768
+    k1 = matching.TOP_K
+    k2 = (starts_grouped.shape[1] - 2) * (matching.TOP_K // 2)
+    ctx = None
+    if max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
+        try:
+            ctx = lis.LisStream(max_key)
+        except RuntimeError:
+            ctx = None
+    if ctx is None:
+        return _consume_stream(
+            (np.asarray(ch) for ch in dense_chunks), starts_tracks)
+    with ctx:
+        row = 0
+        for ci, buf in enumerate(bufs_iter):
+            nblk = dense_chunks[ci].shape[0]
+            if buf[0]:
+                # budget overflow (rare): this chunk rides the dense
+                # transport; content is identical either way
+                ctx.feed_packed(np.asarray(dense_chunks[ci]),
+                                starts_grouped[row:row + nblk],
+                                a_base=row * 210, blk=210, k1=k1, k2=k2)
+            else:
+                lay = matching.compact_chunk_layout(nblk)
+                ctx.feed_compact(
+                    buf[slice(*lay['counts'])],
+                    buf[slice(*lay['codes1'])], buf[slice(*lay['lo1'])],
+                    buf[slice(*lay['hi1'])],
+                    buf[slice(*lay['codes2'])], buf[slice(*lay['lo2'])],
+                    buf[slice(*lay['hi2'])],
+                    starts_grouped[row:row + nblk], blk=210,
+                    a_base=row * 210)
+            row += nblk
+        return ctx.finish()
+
+
 def _streamed_lis(dev_a, na, dev_v, nv):
     """Chunked matcher + streaming LIS: the fine pass is dispatched in
     FINE_CHUNK-block pieces; prefetch threads pull chunks off the device
@@ -594,6 +647,14 @@ def _streamed_lis(dev_a, na, dev_v, nv):
 
     chunks, starts_tracks_dev, _ = matching.match_stream(
         dev_a, na, dev_v, nv)
+    if _use_compact() and starts_tracks_dev.shape[0] == 2:
+        k2 = (starts_tracks_dev.shape[0] - 1) * (matching.TOP_K // 2)
+        comp = [matching.compact_chunk(ch, k2=k2) for ch in chunks]
+        with ThreadPoolExecutor(_pull_threads()) as pool:
+            futs = [pool.submit(lambda c=c: np.asarray(c)) for c in comp]
+            starts_tracks = np.asarray(starts_tracks_dev)
+            return _consume_stream_compact((f.result() for f in futs),
+                                           chunks, starts_tracks)
     with ThreadPoolExecutor(_pull_threads()) as pool:
         futs = [pool.submit(lambda ch=ch: np.asarray(ch)) for ch in chunks]
         # pull the (tiny) coarse starts while the first chunks compute

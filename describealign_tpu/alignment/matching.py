@@ -658,16 +658,13 @@ def _unpack_rows_u8(packed_u8, k):
     return codes, lo, hi2.astype(jnp.uint8)
 
 
-@jax.jit
-def concat_chunks_compact(chunks, starts_tracks):
-    """Batch transport, compacted: one (L,) u8 buffer per pair (see the
-    layout above). Same candidate content as concat_chunks_with_starts
-    whenever the overflow flag is 0."""
-    packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
+def _compact_sections(packed, k2, b1, b2):
+    """Shared compact-plane builder: (nb, W) int16 transport rows ->
+    [header(4), counts(nb*210), codes1, lo1, hi1, codes2, lo2, hi2]
+    section list (live-prefix planes at the given budgets, overflow flag
+    in header byte 0)."""
     nb = packed.shape[0]
     k1 = TOP_K
-    k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
-    b1, b2 = _compact_budgets(nb)
     row1 = _packed_row_words_py(k1)
     row2 = _packed_row_words_py(k2)
     by = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (nb, W, 2)
@@ -687,11 +684,65 @@ def concat_chunks_compact(chunks, starts_tracks):
 
     flag = ((t1 > b1) | (t2 > b2)).astype(jnp.uint8)
     header = jnp.zeros((4,), jnp.uint8).at[0].set(flag)
+    return [header, counts, oc1, ol1, oh1, oc2, ol2, oh2]
+
+
+@jax.jit
+def concat_chunks_compact(chunks, starts_tracks):
+    """Batch transport, compacted: one (L,) u8 buffer per pair (see the
+    layout above). Same candidate content as concat_chunks_with_starts
+    whenever the overflow flag is 0."""
+    packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
+    nb = packed.shape[0]
+    k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
+    b1, b2 = _compact_budgets(nb)
+    sections = _compact_sections(packed, k2, b1, b2)
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
         jnp.uint8).reshape(-1)                          # nb*T*4
-    return jnp.concatenate(
-        [header, counts, st_u8, oc1, ol1, oh1, oc2, ol2, oh2])
+    return jnp.concatenate(sections[:2] + [st_u8] + sections[2:])
+
+
+# Per-chunk budgets for the single-pair streamed path: one 256-block
+# chunk's occupancy varies more than a whole pair's (the quiet lead-in
+# pulls the pair-wide average down, while a fully matched chunk sits near
+# the matched-region occupancy), so the band-1 budget is provisioned
+# higher; overflow still falls back to the dense chunk per chunk.
+COMPACT_CHUNK_BUDGET1 = 0.75
+COMPACT_CHUNK_BUDGET2 = 0.95
+
+
+def _compact_chunk_budgets(nb):
+    b1 = -(-int(nb * 210 * TOP_K * COMPACT_CHUNK_BUDGET1) // 128) * 128
+    b2 = -(-int(nb * 105 * (TOP_K // 2) * COMPACT_CHUNK_BUDGET2)
+           // 128) * 128
+    return b1, b2
+
+
+@partial(jax.jit, static_argnames=('k2',))
+def compact_chunk(chunk, k2):
+    """Streaming transport, compacted: one (L,) u8 buffer per fine chunk
+    (layout of compact_chunk_layout - no starts section; the streaming
+    consumer already pulls the coarse starts separately). Same candidate
+    content as the dense chunk whenever the overflow flag is 0."""
+    b1, b2 = _compact_chunk_budgets(chunk.shape[0])
+    return jnp.concatenate(_compact_sections(chunk, k2, b1, b2))
+
+
+def compact_chunk_layout(nb):
+    """Byte offsets of compact_chunk's sections for an nb-block chunk."""
+    b1, b2 = _compact_chunk_budgets(nb)
+    off = {}
+    p = 4
+    off['counts'] = (p, p + nb * 210)
+    p += nb * 210
+    for name, b in (('codes1', b1), ('lo1', b1), ('hi1', b1 // 4),
+                    ('codes2', b2), ('lo2', b2), ('hi2', b2 // 4)):
+        off[name] = (p, p + b)
+        p += b
+    off['total'] = p
+    off['b1'], off['b2'] = b1, b2
+    return off
 
 
 def _packed_row_words_py(k):

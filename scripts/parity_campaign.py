@@ -41,15 +41,25 @@ def load_reference():
     return ref
 
 
-def draw_scenario(rng, seed):
+def draw_scenario(rng, seed, profile="default"):
     from describealign_tpu.utils.synthmedia import music_bed
 
-    content_s = float(rng.uniform(60, 150))
-    lead = float(rng.uniform(3.0, 25.0))
-    n_skips = int(rng.integers(0, 5))
+    if profile == "long":
+        # minutes-scale media with Ask-Dad-scale lead-ins: exercises the
+        # coarse DP's offset range + skip economics at a structure scale
+        # the 60-150 s draws never reach
+        content_s = float(rng.uniform(240, 600))
+        lead = float(rng.uniform(10.0, 240.0))
+        n_skips = int(rng.integers(0, 11))
+        durs_hi = 15.0
+    else:
+        content_s = float(rng.uniform(60, 150))
+        lead = float(rng.uniform(3.0, 25.0))
+        n_skips = int(rng.integers(0, 5))
+        durs_hi = 8.0
     cuts = np.sort(rng.uniform(10.0, content_s - 10.0, n_skips))
     cuts = cuts[np.diff(np.concatenate([[0.0], cuts])) > 8.0]
-    durs = rng.uniform(2.0, 8.0, len(cuts))
+    durs = rng.uniform(2.0, durs_hi, len(cuts))
     rate = 1.0
     if rng.uniform() < 0.4:
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.005, 0.03))
@@ -169,15 +179,15 @@ def _content_seed_base(camp_seed):
     return 500 if camp_seed == 20260816 else camp_seed % 100000 + 500
 
 
-def diag(indices, camp_seed=20260816):
+def diag(indices, camp_seed=20260816, profile="default"):
     """Rerun specific draw indices and score BOTH sides against ground
-    truth (usage: parity_campaign.py diag [seed=N] 3 4 11)."""
+    truth (usage: parity_campaign.py diag [seed=N] [profile=long] 3 4 11)."""
     ref = load_reference()
     import describealign_tpu as da
     rng = np.random.default_rng(camp_seed)
     base = _content_seed_base(camp_seed)
     for i in range(max(indices) + 1):
-        video, audio, meta = draw_scenario(rng, base + i)
+        video, audio, meta = draw_scenario(rng, base + i, profile)
         if i not in indices:
             continue
         r, o = run_one(ref, da, video, audio)
@@ -192,20 +202,25 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == 'diag':
         rest = sys.argv[2:]
         camp_seed = 20260816
+        profile = "default"
         if rest and rest[0].startswith('seed='):
             camp_seed = int(rest[0][5:])
             rest = rest[1:]
-        diag({int(v) for v in rest}, camp_seed)
+        if rest and rest[0].startswith('profile='):
+            profile = rest[0][8:]
+            rest = rest[1:]
+        diag({int(v) for v in rest}, camp_seed, profile)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     camp_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+    profile = sys.argv[3] if len(sys.argv) > 3 else "default"
     ref = load_reference()
     import describealign_tpu as da
     rng = np.random.default_rng(camp_seed)
     base = _content_seed_base(camp_seed)
     worst = []
     for i in range(n):
-        video, audio, meta = draw_scenario(rng, base + i)
+        video, audio, meta = draw_scenario(rng, base + i, profile)
         t = time.time()
         try:
             r, o = run_one(ref, da, video, audio)

@@ -291,6 +291,59 @@ def test_align_batch_compact_transport_matches(monkeypatch):
         assert g[2] == w[2] and g[4] == w[4]
 
 
+def test_streamed_compact_transport_matches(monkeypatch):
+    """The per-chunk compact transport on the single-pair streamed path
+    (DESCRIBEALIGN_COMPACT=1 + matching.compact_chunk) must yield the
+    exact path of the dense streamed path across chunk boundaries, and
+    artificially tiny budgets must route every chunk through the per-chunk
+    dense fallback with identical results."""
+    import jax
+    from describealign_tpu.alignment import lis, matching
+    from describealign_tpu.alignment.api import (_bucket_pad, _streamed_lis,
+                                                 host_features_padded)
+    if not lis.LisStream.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setattr(matching, 'FINE_CHUNK', 32)
+    try:
+        video, audio, _ = build_pair(content_seconds=100.0,
+                                     narration=((40.0, 4.0),), lead_in=5.0,
+                                     seed=17)
+
+        def to_i16(x):
+            return np.clip(x, -32768, 32767).astype(np.int16)
+
+        video, audio = to_i16(video), to_i16(audio)
+        sv, sa = video.shape[1], audio.shape[1]
+        npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+        fv, nv = host_features_padded(video, sv, npad)
+        fa, na = host_features_padded(audio, sa, npad)
+        dev_v = jax.device_put(fv.astype(np.float16))
+        dev_a = jax.device_put(fa.astype(np.float16))
+        _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
+        assert n_chunks >= 3, f"expected multi-chunk stream, got {n_chunks}"
+        want_y, want_x = _streamed_lis(dev_a, na, dev_v, nv)
+
+        monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
+        got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+        np.testing.assert_array_equal(got_y, want_y)
+        np.testing.assert_array_equal(got_x, want_x)
+
+        # force per-chunk overflow: every chunk must flag and fall back to
+        # its dense buffer, bit-identically
+        monkeypatch.setattr(matching, 'COMPACT_CHUNK_BUDGET1', 0.01)
+        monkeypatch.setattr(matching, 'COMPACT_CHUNK_BUDGET2', 0.01)
+        matching.compact_chunk.clear_cache()
+        try:
+            got2_y, got2_x = _streamed_lis(dev_a, na, dev_v, nv)
+        finally:
+            matching.compact_chunk.clear_cache()
+        np.testing.assert_array_equal(got2_y, want_y)
+        np.testing.assert_array_equal(got2_x, want_x)
+    finally:
+        matching.match_coarse.clear_cache()
+        matching.match_fine_chunk.clear_cache()
+
+
 def test_align_rate_change():
     """A 3% speed difference (PAL-style) must be recovered in the fit and
     the median slope (exercises the coarse DP's drift tracking and the
