@@ -214,6 +214,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     camp_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
     profile = sys.argv[3] if len(sys.argv) > 3 else "default"
+    start = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     ref = load_reference()
     import describealign_tpu as da
     rng = np.random.default_rng(camp_seed)
@@ -221,6 +222,8 @@ def main():
     worst = []
     for i in range(n):
         video, audio, meta = draw_scenario(rng, base + i, profile)
+        if i < start:
+            continue                  # advance the rng, skip the run
         t = time.time()
         try:
             r, o = run_one(ref, da, video, audio)
