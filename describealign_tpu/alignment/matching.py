@@ -31,6 +31,7 @@ dense, static-shape kernels:
 
 Everything is one jitted call per shape bucket; no host round-trips.
 """
+import os
 from functools import partial
 
 import jax
@@ -71,6 +72,13 @@ DP_SLOPE_COST = 0.5         # per-lane move cost per block (10%/lane rate dev)
 # included) show no spurious-jump regressions (the fine gates + LIS
 # arbitrate ridge excursions).
 DP_JUMP_COST = 1.0
+# lax.scan unroll for the coarse DP's per-block relaxation steps. Each
+# step is a handful of VPU ops over the D video lanes, so at ~1800 blocks
+# per 22-min pair the compiled while-loop's per-iteration overhead rivals
+# the arithmetic; unrolling amortizes it without changing the math (scan
+# unroll is exact - the DP equality tests cover both paths). Overridable
+# for hardware A/B (see PERF.md).
+DP_SCAN_UNROLL = int(os.environ.get('DESCRIBEALIGN_DP_UNROLL', '8'))
 
 
 def _fine_kernel_mode():
@@ -232,7 +240,8 @@ def _coarse_dp(p_map):
         return cur, cur
 
     init = jnp.zeros((d,), jnp.float32)
-    _, cost = jax.lax.scan(fwd_step, init, p_map)                # (B, D)
+    _, cost = jax.lax.scan(fwd_step, init, p_map,
+                           unroll=DP_SCAN_UNROLL)               # (B, D)
 
     o_last = jnp.argmax(cost[-1])
 
@@ -240,7 +249,8 @@ def _coarse_dp(p_map):
         o_prev = _dp_backstep(o_next, cost_prev, d)
         return o_prev, o_prev
 
-    _, path = jax.lax.scan(back_step, o_last, cost[:-1], reverse=True)
+    _, path = jax.lax.scan(back_step, o_last, cost[:-1], reverse=True,
+                           unroll=DP_SCAN_UNROLL)
     return jnp.concatenate([path, o_last[None]]).astype(jnp.int32)
 
 
@@ -301,7 +311,8 @@ def _coarse_dp_streamed(desc_a, desc_v_list, nb, suppress_paths=()):
         return cur, cur
 
     def fwd_chunk(prev, c):
-        last, _ = jax.lax.scan(fwd_row, prev, (chunk_scores(c), row_valid(c)))
+        last, _ = jax.lax.scan(fwd_row, prev, (chunk_scores(c), row_valid(c)),
+                               unroll=DP_SCAN_UNROLL)
         return last, prev                      # checkpoint: PRE-chunk row
 
     init = jnp.zeros((d,), jnp.float32)
@@ -322,11 +333,13 @@ def _coarse_dp_streamed(desc_a, desc_v_list, nb, suppress_paths=()):
     def bwd_chunk(o_carry, inp):
         c, ckpt = inp
         _, rows = jax.lax.scan(fwd_row, ckpt,
-                               (chunk_scores(c), row_valid(c)))  # (64, D)
+                               (chunk_scores(c), row_valid(c)),
+                               unroll=DP_SCAN_UNROLL)            # (64, D)
         flags = (c * COARSE_CHUNK
                  + jnp.arange(COARSE_CHUNK, dtype=jnp.int32)) < (nb - 1)
         o_first, path_chunk = jax.lax.scan(bwd_row, o_carry, (rows, flags),
-                                           reverse=True)
+                                           reverse=True,
+                                           unroll=DP_SCAN_UNROLL)
         return o_first, path_chunk
 
     _, path_chunks = jax.lax.scan(bwd_chunk, o_last,
