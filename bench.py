@@ -149,9 +149,44 @@ def run_once(video_i16, audio_i16, sv, sa):
                           video_samples=sv, audio_samples=sa)
 
 
+def _require_device(timeout_s=None):
+    """Fail fast (one diagnostic JSON line, exit 3) if the device backend
+    does not answer. The tunneled TPU link is known to hang for hours at a
+    time; without this guard a bench run during an outage blocks forever
+    at the first backend call instead of reporting anything."""
+    import threading
+    if timeout_s is None:
+        timeout_s = int(os.environ.get(
+            "DESCRIBEALIGN_BENCH_PROBE_TIMEOUT", "300"))
+    ok = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            if jax.devices():
+                ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "e2e_align_22min_pair_seconds", "value": None,
+            "unit": "seconds", "vs_baseline": None,
+            "error": (f"device backend unresponsive after {timeout_s}s "
+                      "(tunnel outage?) - no timing was possible"),
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
+
 def main():
     import io
     from contextlib import redirect_stdout
+
+    _require_device()
     import jax
 
     t0 = time.time()
