@@ -52,6 +52,14 @@ def draw_scenario(rng, seed, profile="default"):
         lead = float(rng.uniform(10.0, 240.0))
         n_skips = int(rng.integers(0, 11))
         durs_hi = 15.0
+    elif profile == "rate":
+        # PAL-and-beyond rate changes (25/24 = 4.27% is the canonical
+        # real-world case): every draw gets a rate in ±[3.5%, 6%], above
+        # the default profile's ±3% ceiling
+        content_s = float(rng.uniform(120, 240))
+        lead = float(rng.uniform(3.0, 40.0))
+        n_skips = int(rng.integers(0, 6))
+        durs_hi = 10.0
     else:
         content_s = float(rng.uniform(60, 150))
         lead = float(rng.uniform(3.0, 25.0))
@@ -61,7 +69,9 @@ def draw_scenario(rng, seed, profile="default"):
     cuts = cuts[np.diff(np.concatenate([[0.0], cuts])) > 8.0]
     durs = rng.uniform(2.0, durs_hi, len(cuts))
     rate = 1.0
-    if rng.uniform() < 0.4:
+    if profile == "rate":
+        rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.035, 0.06))
+    elif rng.uniform() < 0.4:
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.005, 0.03))
 
     content = speech_like(content_s, seed=seed)
