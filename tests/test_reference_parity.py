@@ -245,3 +245,27 @@ def test_parity_music_bed_short_first_segment(ref):
     audio = _quantize(np.concatenate(pieces))
     r, o = _run_both(ref, video, audio)
     _assert_mapping_parity(r, o, np.linspace(6, 96, 45))
+
+
+def test_parity_pal_rate(ref):
+    """PAL-scale rate change: 25/24 (+4.17%), the canonical film-to-PAL
+    speedup, ABOVE the default campaign's ±3% rate range (the 'rate'
+    campaign profile covers ±3.5-6%: 12/12 draws clean on seed 20260820).
+    Narration inserts plus a 0.6-ratio music bed ride on top, so the
+    coarse DP must track a steady 4%/lane drift through bed ridges.
+    Reference behavior: align() (describealign.py:595-1027) recovers the
+    slope via its hash-bin matches + linprog fit; median slope = 24/25."""
+    from scipy.signal import resample_poly
+    from describealign_tpu.utils.synthmedia import music_bed
+    content = speech_like(60.0, seed=47) + 0.6 * music_bed(60.0, seed=547)
+    slowed = resample_poly(content, 25, 24)
+    video = _quantize(content)
+    pieces = [speech_like(5.0, seed=1047, amp=5000.0),
+              slowed[:int(30 * SR)],
+              speech_like(4.0, seed=2047, amp=5000.0),
+              slowed[int(30 * SR):]]
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    _assert_mapping_parity(r, o, np.linspace(7, 68, 40))
+    assert abs(float(r[4]) - 24.0 / 25.0) < 2e-3
+    assert abs(float(o[4]) - 24.0 / 25.0) < 2e-3
