@@ -488,7 +488,7 @@ def warmup_compile(max_minutes):
 
 def _packed_row_words(k):
     """int16 words per packed row of k slots (matching._pack_slots)."""
-    return k // 2 + k // 2 + (k // 4 + 1) // 2
+    return matching._packed_row_words_py(k)
 
 
 def _unpack_chunk(packed, k1, k2):

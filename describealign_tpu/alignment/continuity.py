@@ -28,7 +28,10 @@ def _conv(x, taps, mode):
     kernel (~4x numpy's scalar correlate loop on media-length paths);
     numpy fallback when the library is unavailable."""
     lib = native_lib()
-    if lib is not None and hasattr(lib, 'conv_f64'):
+    # np.convolve swaps its arguments so the longer array is the signal;
+    # the native kernel does not, and would compute a negative 'valid'
+    # length (or a too-short 'same') for sub-taps-length inputs
+    if lib is not None and hasattr(lib, 'conv_f64') and len(x) >= len(taps):
         x = np.ascontiguousarray(x, np.float64)
         taps = np.ascontiguousarray(taps, np.float64)
         same = 1 if mode == 'same' else 0
@@ -178,10 +181,13 @@ def compress_path(x, y, run=70, err_threshold=3.0):
         # cx is non-decreasing by construction (the LIS path's audio
         # frames are, and each run's mean stays within the run's range),
         # so equal values sit in contiguous groups: segmented sums replace
-        # np.unique's sort + the notoriously slow np.add.at, with the
-        # identical left-to-right accumulation order (bit-equal means).
-        # The general branch below stays as the fallback for the
-        # theoretical non-monotone case.
+        # np.unique's sort + the notoriously slow np.add.at. reduceat's
+        # SIMD inner loop may accumulate a multi-element group in a
+        # different order than a scalar loop (~1 ulp, ~1e-13 on real
+        # sums); immaterial downstream - fit tolerances are ms-scale and
+        # the pass-2 round(slope, 6) keys have 1e-6 spacing. The general
+        # branch below stays as the fallback for the theoretical
+        # non-monotone case (never taken on LIS output).
         starts_g = np.concatenate(
             [[0], np.flatnonzero(np.diff(cx) != 0) + 1])
         sums = np.add.reduceat(cy, starts_g)

@@ -88,7 +88,6 @@ def _fine_kernel_mode():
     Returns '' (XLA path), 'tpu' (compiled kernel), or 'interpret' (the
     Pallas CPU interpreter - test/debug only; DESCRIBEALIGN_PALLAS=0
     forces the XLA path on any backend)."""
-    import os
     v = os.environ.get('DESCRIBEALIGN_PALLAS', '')
     if v == '0':
         return ''
@@ -584,14 +583,6 @@ def _pack_slots(q, o):
     hi16 = jax.lax.bitcast_convert_type(
         hi_b.reshape(c, rows, hi_b.shape[2] // 2, 2), jnp.int16)
     return jnp.concatenate([codes16, lo16, hi16], axis=2).reshape(c, -1)
-
-
-@jax.jit
-def concat_chunks(chunks):
-    """Concatenate streamed chunk buffers on device into one (B_pad, W)
-    transport array so the host pays a single D2H round trip. Retraces
-    per chunk count - bounded by the handful of length buckets."""
-    return jnp.concatenate(chunks, axis=0)
 
 
 @jax.jit

@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <locale.h>
 #include <memory>
 #include <mutex>
 #include <vector>
@@ -1047,7 +1048,14 @@ int rescale_feature(const float* vf, int64_t nv, const float* af, int64_t na,
 // CPython's dtoa-based round exactly). Values too large for 6 decimals
 // to matter (spacing > 1e-6 at |v| >= ~4.5e9) and non-finite values pass
 // through, as in Python. Replaces a ~22k-call/pair Python round() loop.
+// The format+parse pair runs under a pinned "C" locale: a host app (the
+// wx GUI sets the process locale from the environment on some platforms)
+// could otherwise switch LC_NUMERIC to a comma-decimal locale, making
+// snprintf emit "0,998700" and strtod parse just "0" - silently
+// collapsing every cluster key. uselocale is per-thread and cheap.
 int round_decimals6_f64(const double* v, int64_t n, double* out) {
+  static const locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+  const locale_t prev = c_loc ? uselocale(c_loc) : (locale_t)0;
   char buf[64];
   for (int64_t i = 0; i < n; ++i) {
     const double x = v[i];
@@ -1055,6 +1063,7 @@ int round_decimals6_f64(const double* v, int64_t n, double* out) {
     std::snprintf(buf, sizeof buf, "%.6f", x);
     out[i] = std::strtod(buf, nullptr);
   }
+  if (c_loc) uselocale(prev);
   return 0;
 }
 

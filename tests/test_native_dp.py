@@ -331,3 +331,39 @@ def test_build_points_flat_matches_lists():
     np.testing.assert_allclose(pj, pj2, rtol=1e-12)
     np.testing.assert_array_equal(pc, pc2)
     np.testing.assert_allclose(pq, pq2, rtol=1e-12)
+
+
+def test_round6_matches_python_round():
+    """The native format+parse round(v, 6) twin == the Python builtin on
+    random and decimal-boundary values (incl. half-to-even ties)."""
+    from describealign_tpu.alignment.refine import _round6
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.uniform(-2.0, 2.0, 5000),
+        rng.uniform(-1e9, 1e9, 500),
+        np.array([0.9999995, 1.0000005, 0.1234565, -0.1234575,
+                  2.5e-7, -2.5e-7, 0.0, -0.0, 1e13, np.inf, -np.inf]),
+    ])
+    assert _round6(vals) == [round(float(v), 6) for v in vals]
+
+
+def test_round6_locale_independent():
+    """Regression: the native rounder formats via snprintf, which under a
+    comma-decimal LC_NUMERIC would emit '0,998700' and parse back 0.0;
+    round_decimals6_f64 must pin the C locale. Skips when no such locale
+    is installed (CI images often ship only C/C.utf8)."""
+    import locale as pyloc
+    from describealign_tpu.alignment.refine import _round6
+    old = pyloc.setlocale(pyloc.LC_NUMERIC)
+    for name in ("de_DE.UTF-8", "de_DE.utf8", "fr_FR.UTF-8", "fr_FR.utf8"):
+        try:
+            pyloc.setlocale(pyloc.LC_NUMERIC, name)
+            break
+        except pyloc.Error:
+            continue
+    else:
+        pytest.skip("no comma-decimal locale installed")
+    try:
+        assert _round6(np.array([0.9987, 1.2345675])) == [0.9987, 1.234568]
+    finally:
+        pyloc.setlocale(pyloc.LC_NUMERIC, old)

@@ -94,3 +94,26 @@ def test_continuity_filter_native_matches_numpy():
             del os.environ['DESCRIBEALIGN_NO_NATIVE']
         np.testing.assert_array_equal(xf, x[keep])
         np.testing.assert_array_equal(yf, y[keep])
+
+
+def test_continuity_short_inputs_match_numpy():
+    """Regression: _conv must reproduce np.convolve's argument swap for
+    sub-taps-length inputs (the native kernel would compute a negative
+    'valid' length and crash); a 17-point path through continuity_filter
+    must return (all-inf err -> empty) like the pure-numpy chain."""
+    from describealign_tpu.alignment.continuity import (_conv,
+                                                        _half_hann_taps)
+    rng = np.random.default_rng(5)
+    taps = _half_hann_taps()
+    for n in (1, 5, len(taps) - 1, len(taps), len(taps) + 3):
+        x = rng.normal(size=n)
+        for mode in ('valid', 'same'):
+            got = _conv(x, taps, mode)
+            want = np.convolve(x, taps, mode=mode)
+            if n < len(taps):       # the regression: numpy on both sides
+                np.testing.assert_array_equal(got, want)
+            else:                   # native kernel: ulp-level order diffs
+                np.testing.assert_allclose(got, want, rtol=1e-12)
+    x = np.arange(17.0)
+    xf, yf = continuity_filter(x, x + 3.0)
+    assert len(xf) == len(yf) == 0
