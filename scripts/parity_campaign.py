@@ -52,6 +52,15 @@ def draw_scenario(rng, seed, profile="default"):
         lead = float(rng.uniform(10.0, 240.0))
         n_skips = int(rng.integers(0, 11))
         durs_hi = 15.0
+    elif profile == "quiet":
+        # silence-heavy content: the anchor masks gate on energy > .5
+        # (reference 657-658, 629-633), so long near-silent spans thin the
+        # match anchors and stress the coarse DP's bridging economics -
+        # a failure axis the music-bed draws never touch
+        content_s = float(rng.uniform(90, 200))
+        lead = float(rng.uniform(3.0, 30.0))
+        n_skips = int(rng.integers(0, 5))
+        durs_hi = 8.0
     elif profile == "rate":
         # PAL-and-beyond rate changes (25/24 = 4.27% is the canonical
         # real-world case): every draw gets a rate in ±[3.5%, 6%], above
@@ -76,7 +85,24 @@ def draw_scenario(rng, seed, profile="default"):
 
     content = speech_like(content_s, seed=seed)
     bed = "none"
-    bed_draw = rng.uniform()
+    if profile == "quiet":
+        # carve 2-5 near-silent spans (4-18 s each) out of the content:
+        # both streams share them (they're content), so the anchor mask
+        # drops those frames on both sides
+        n_sil = int(rng.integers(2, 6))
+        spans = []
+        for _ in range(n_sil):
+            dur = float(rng.uniform(4.0, 18.0))
+            at = float(rng.uniform(5.0, content_s - dur - 5.0))
+            i0, i1 = int(at * SR), int((at + dur) * SR)
+            fade = min(2205, (i1 - i0) // 4)
+            ramp = np.linspace(1.0, 0.0, fade)
+            content[i0:i0 + fade] *= ramp
+            content[i0 + fade:i1 - fade] *= 0.0
+            content[i1 - fade:i1] *= ramp[::-1]
+            spans.append(f"{at:.0f}+{dur:.0f}")
+        bed = "silence(" + ",".join(spans) + ")"
+    bed_draw = rng.uniform() if profile != "quiet" else 1.0
     if bed_draw < 0.35:
         # dialog over a repetitive tonal bed: self-similar ridges under
         # real speech structure
