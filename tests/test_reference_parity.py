@@ -247,6 +247,57 @@ def test_parity_music_bed_short_first_segment(ref):
     _assert_mapping_parity(r, o, np.linspace(6, 96, 45))
 
 
+def test_parity_quiet_silence_boundary_skip(ref):
+    """Quiet-profile campaign (seed 20260821) draw-03 structure: a skip cut
+    placed right at the END of a 16-s near-silent span. The energy>.5
+    anchor gating (reference describealign.py:629-633, 657-658; our
+    preprocess quiet masks) leaves zero anchors inside the silence, so the
+    skip's placement must be recovered from the bridging economics alone.
+    On the campaign draw the REFERENCE misplaced the jump by 5.9 s (it put
+    the discontinuity at the silence onset); ours recovered it exactly, so
+    this pins ours against GROUND TRUTH everywhere and against the
+    reference only outside the silence-ambiguous window."""
+    content = speech_like(160.0, seed=911)
+    # carve near-silent spans out of the shared content (fade like the
+    # campaign's generator); the last one ends exactly at the first cut
+    for at, dur in ((42.0, 9.0), (104.0, 16.0), (131.0, 8.0)):
+        i0, i1 = int(at * SR), int((at + dur) * SR)
+        fade = min(2205, (i1 - i0) // 4)
+        ramp = np.linspace(1.0, 0.0, fade)
+        content[i0:i0 + fade] *= ramp
+        content[i0 + fade:i1 - fade] *= 0.0
+        content[i1 - fade:i1] *= ramp[::-1]
+    lead, cuts, durs = 18.5, (120.3, 142.9), (5.9, 3.3)
+    video = _quantize(content)
+    pieces = [speech_like(lead, seed=1911, amp=5000.0)]
+    cursor = 0.0
+    for k, (cut, dur) in enumerate(zip(cuts, durs)):
+        pieces.append(content[int(cursor * SR):int(cut * SR)])
+        pieces.append(speech_like(dur, seed=2911 + k, amp=5000.0))
+        cursor = cut
+    pieces.append(content[int(cursor * SR):])
+    audio = _quantize(np.concatenate(pieces))
+    r, o = _run_both(ref, video, audio)
+    # ours vs ground truth: audio time -> video time piecewise map
+    segs, a0, c0 = [], lead, 0.0
+    for cut, dur in zip(cuts, durs):
+        segs.append((a0, a0 + (cut - c0), c0))
+        a0 += (cut - c0) + dur
+        c0 = cut
+    segs.append((a0, a0 + (160.0 - c0), c0))
+    o_x, o_y = np.asarray(o[0], float), np.asarray(o[1], float)
+    for (s0, s1, v0) in segs:
+        probes = np.linspace(s0 + 1.0, s1 - 1.0, 12)
+        got = np.interp(probes, o_x, o_y)
+        want = v0 + (probes - s0)
+        assert np.abs(got - want).max() < 0.25, (s0, s1)
+    # parity vs the reference away from the silence-ambiguous window
+    # (video 104-120.3 -> audio ~122.5-138.8; pad generously)
+    probes = np.concatenate([np.linspace(20, 118, 40),
+                             np.linspace(146, 186, 20)])
+    _assert_mapping_parity(r, o, probes)
+
+
 def test_parity_pal_rate(ref):
     """PAL-scale rate change: 25/24 (+4.17%), the canonical film-to-PAL
     speedup, ABOVE the default campaign's ±3% rate range (the 'rate'
