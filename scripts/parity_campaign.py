@@ -69,6 +69,14 @@ def draw_scenario(rng, seed, profile="default"):
         lead = float(rng.uniform(3.0, 40.0))
         n_skips = int(rng.integers(0, 6))
         durs_hi = 10.0
+    elif profile == "gauntlet":
+        # every stressor at once: rate drift x silence spans x music beds
+        # x dense skips x long lead-ins - probes the INTERSECTIONS the
+        # single-axis profiles (rate/quiet/long) never reach
+        content_s = float(rng.uniform(150, 350))
+        lead = float(rng.uniform(5.0, 120.0))
+        n_skips = int(rng.integers(2, 9))
+        durs_hi = 12.0
     else:
         content_s = float(rng.uniform(60, 150))
         lead = float(rng.uniform(3.0, 25.0))
@@ -80,16 +88,23 @@ def draw_scenario(rng, seed, profile="default"):
     rate = 1.0
     if profile == "rate":
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.035, 0.06))
+    elif profile == "gauntlet":
+        if rng.uniform() < 0.75:
+            rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.01, 0.06))
     elif rng.uniform() < 0.4:
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.005, 0.03))
 
     content = speech_like(content_s, seed=seed)
     bed = "none"
+    n_sil = 0
     if profile == "quiet":
-        # carve 2-5 near-silent spans (4-18 s each) out of the content:
+        n_sil = int(rng.integers(2, 6))
+    elif profile == "gauntlet":
+        n_sil = int(rng.integers(1, 4))
+    if n_sil:
+        # carve near-silent spans (4-18 s each) out of the content:
         # both streams share them (they're content), so the anchor mask
         # drops those frames on both sides
-        n_sil = int(rng.integers(2, 6))
         spans = []
         for _ in range(n_sil):
             dur = float(rng.uniform(4.0, 18.0))
@@ -108,7 +123,7 @@ def draw_scenario(rng, seed, profile="default"):
         # real speech structure
         ratio = float(rng.uniform(0.4, 1.0))
         content = content + ratio * music_bed(content_s, seed=seed + 500)
-        bed = f"under({ratio:.2f})"
+        bed = ("" if bed == "none" else bed + "+") + f"under({ratio:.2f})"
     elif bed_draw < 0.55:
         # a pure music-bed stretch INSIDE the content (a title sequence /
         # interlude): the worst case for on-grid fake coarse tracks
@@ -117,7 +132,8 @@ def draw_scenario(rng, seed, profile="default"):
         i0, i1 = int(at * SR), int((at + span) * SR)
         seg = music_bed(span + 1.0, seed=seed + 600)[: i1 - i0]
         content[i0:i0 + len(seg)] = seg
-        bed = f"insert({at:.1f}+{span:.1f}s)"
+        bed = ("" if bed == "none" else bed + "+") + \
+            f"insert({at:.1f}+{span:.1f}s)"
     if rate != 1.0:
         from scipy.signal import resample_poly
         num = int(round(1000 * rate))
