@@ -135,11 +135,15 @@ def host_features_padded(pcm_i16, true_samples=None, npad=None):
 
 
 def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
-                   video_samples=None, audio_samples=None):
+                   video_samples=None, audio_samples=None,
+                   combine_prints=False):
     """Fast path: int16 PCM in, alignment out, one device round-trip.
 
     video_samples/audio_samples: true sample counts when the PCM arrays are
     already bucket-padded (e.g. by the pipeline's decode-ahead thread).
+    combine_prints=True emits the reference combine()'s per-stage progress
+    lines (describealign.py:1100-1113) around the feature stages in addition
+    to align()'s own lines - used by the sequential pipeline loop.
     Set DESCRIBEALIGN_PROFILE_DIR to capture a JAX/xprof device trace of the
     fused program (viewable with xprof/tensorboard).
     """
@@ -148,16 +152,20 @@ def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
         with jax.profiler.trace(profile_dir):
             return _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16,
                                         fit_backend, video_samples,
-                                        audio_samples)
+                                        audio_samples, combine_prints)
     return _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend,
-                                video_samples, audio_samples)
+                                video_samples, audio_samples, combine_prints)
 
 
 def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
-                         video_samples=None, audio_samples=None):
+                         video_samples=None, audio_samples=None,
+                         combine_prints=False):
     fit_backend = _default_backend(fit_backend)
     if _feature_path() == 'host':
-        print("  memorizing video...        \r", end='')
+        if combine_prints:
+            print("  computing video features... \r", end='')
+        else:
+            print("  memorizing video...        \r", end='')
         # both streams pad to the COMMON bucket: one compiled shape per
         # bucket serves any video/audio length combination (instead of a
         # quadratic family of (npad_a, npad_v) programs)
@@ -166,8 +174,15 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
         npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
         feats_v_np, nv = host_features_padded(video_pcm_i16, sv, npad)
         dev_v = jax.device_put(feats_v_np.astype(np.float16))  # async, f16
+        if combine_prints:
+            # the audio stream was decode-ahead'd with the video; the
+            # reference's line sequence is preserved (1109-1113)
+            print("  reading audio file...       \r", end='')
+            print("  computing audio features...\r", end='')
         feats_a_np, na = host_features_padded(audio_pcm_i16, sa, npad)
         dev_a = jax.device_put(feats_a_np.astype(np.float16))
+        if combine_prints:
+            print("  memorizing video...        \r", end='')
         print("  matching audio...  \r", end='')
         if _use_streaming():
             y, x = _streamed_lis(dev_a, na, dev_v, nv)

@@ -77,10 +77,41 @@ def command_line_interface(argv=None):
         from . import __version__
         from .utils.hashing import get_version_hash
         print(f"version: {__version__}")
+        # provenance classification mirrors the reference CLI
+        # (describealign.py:1820-1840): compiled binary / loose source tree
+        # / installed package, resolved via find_spec with the cwd shadow
+        # guard (a checkout in the current directory must not mask an
+        # installed copy)
         if "__compiled__" in globals() or getattr(sys, 'frozen', False):
             print("running from compiled binary")
         else:
-            print(f"path: {os.path.dirname(os.path.abspath(__file__))}")
+            import importlib.util
+            cur_dir = os.getcwd()
+            if sys.path and sys.path[0] == cur_dir:
+                # ignore a describealign_tpu checkout in the current dir
+                del sys.path[0]
+                try:
+                    installed_spec = importlib.util.find_spec(
+                        'describealign_tpu')
+                except (ImportError, ValueError):
+                    installed_spec = None
+                sys.path = [cur_dir] + sys.path
+            else:
+                try:
+                    installed_spec = importlib.util.find_spec(
+                        'describealign_tpu')
+                except (ImportError, ValueError):
+                    installed_spec = None
+            this_package_path = os.path.dirname(os.path.abspath(__file__))
+            installed_path = None
+            if installed_spec is not None and installed_spec.origin:
+                installed_path = os.path.dirname(
+                    os.path.abspath(installed_spec.origin))
+            if installed_path != this_package_path:
+                print("running from downloaded .py file")
+            else:
+                print("running from installed package")
+            print(f"path: {this_package_path}")
             print(f"content hash: {get_version_hash()}")
     elif args.install_ffmpeg:
         from .media.ffmpeg import get_ffmpeg, get_ffprobe

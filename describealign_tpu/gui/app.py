@@ -288,6 +288,12 @@ class MainFrame(wx.Frame):
 
 def run_gui():
     multiprocessing.freeze_support()
+    # macOS: the file picker hides its type dropdown unless this option is
+    # set before the app starts (reference describealign.py:1781-1782,
+    # wxWidgets/Phoenix#2368)
+    import platform
+    if platform.system() == 'Darwin':
+        wx.SystemOptions.SetOption('osx.openfiledialog.always-show-types', 1)
     app = wx.App()
     MainFrame().Show()
     app.MainLoop()

@@ -72,11 +72,43 @@ def _fetch_static_ffmpeg():
     return sfr._get_or_fetch_platform_executables_else_raise_no_lock()
 
 
-def _discover(name, env_var):
+def _static_paths_if_installed():
+    """(ffmpeg, ffprobe) paths of an EXISTING static_ffmpeg install (crumb
+    present, v6+, binaries on disk) without downloading anything; None
+    otherwise. The non-fetching half of the reference's is_ffmpeg_installed
+    (describealign.py:528-543)."""
+    try:
+        import static_ffmpeg.run as sfr
+        plat_dir = sfr.get_platform_dir()
+    except Exception:
+        return None
+    if not evict_stale_static_binaries():
+        return None
+    exe = ".exe" if os.name == "nt" else ""
+    ffmpeg_bin = os.path.join(plat_dir, "ffmpeg" + exe)
+    ffprobe_bin = os.path.join(plat_dir, "ffprobe" + exe)
+    if os.path.isfile(ffmpeg_bin) and os.path.isfile(ffprobe_bin):
+        return ffmpeg_bin, ffprobe_bin
+    return None
+
+
+def _discover_present(name, env_var):
+    """Locate a binary WITHOUT downloading: env override, PATH, or an
+    existing static_ffmpeg install."""
     path = os.environ.get(env_var)
     if path and os.path.isfile(path):
         return path
     path = shutil.which(name)
+    if path:
+        return path
+    static = _static_paths_if_installed()
+    if static is not None:
+        return static[0] if name == 'ffmpeg' else static[1]
+    return None
+
+
+def _discover(name, env_var):
+    path = _discover_present(name, env_var)
     if path:
         return path
     try:  # optional: the reference's static_ffmpeg distribution mechanism
@@ -117,12 +149,40 @@ def get_ffprobe():
 
 
 def is_ffmpeg_installed():
+    """Non-fetching presence check (reference describealign.py:528-543:
+    checks the installed.crumb without downloading; pre-v6 binaries are
+    evicted with the same message). Memoized discoveries count as present."""
+    if _FFMPEG_PATH is not None and _FFPROBE_PATH is not None:
+        return True
+    return (_discover_present('ffmpeg', 'DESCRIBEALIGN_FFMPEG') is not None
+            and _discover_present('ffprobe',
+                                  'DESCRIBEALIGN_FFPROBE') is not None)
+
+
+def install_ffmpeg_with_prompts():
+    """The reference combine()'s interactive install flow (describealign.py:
+    1065-1073): static_ffmpeg version floor, download message, fetch,
+    post-install re-verification, success print. In an environment without
+    static_ffmpeg, raises with the hermetic-env guidance instead."""
+    try:
+        import static_ffmpeg.run  # noqa: F401
+    except ImportError:
+        raise RuntimeError(
+            "ffmpeg/ffprobe not found. Install ffmpeg or set "
+            "DESCRIBEALIGN_FFMPEG / DESCRIBEALIGN_FFPROBE.")
+    if get_static_ffmpeg_version() < 3:
+        print("  ERROR: outdated static_ffmpeg version")
+        raise ImportError("static_ffmpeg must be at least version 3.0")
+    print("Downloading and installing ffmpeg (media editor, 50 MB download)...")
+    _reset_discovery_cache()
     try:
         get_ffmpeg()
         get_ffprobe()
-        return True
     except FFmpegNotFoundError:
-        return False
+        pass  # surfaced as the reference's install-failure message below
+    if not is_ffmpeg_installed():
+        raise RuntimeError("Failed to install ffmpeg.")
+    print("Successfully installed ffmpeg.")
 
 
 def run_ffmpeg_command(args, err_msg, stdin_bytes=None):
