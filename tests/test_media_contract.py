@@ -36,6 +36,64 @@ def test_natural_sort_order():
     assert os_sorted(files) == ['Ep1.mp4', 'ep2.mp4', 'ep2b.mp4', 'ep10.mp4']
 
 
+def test_natural_sort_case_insensitive():
+    """natsort's os_sorted fallback casefolds (ns.IGNORECASE); ASCII-order
+    keys would mis-pair ['B.mp4','a.mp4'] against ['b.mp3','a.mp3']."""
+    assert os_sorted(['B.mp4', 'a.mp4']) == ['a.mp4', 'B.mp4']
+    assert os_sorted(['b.mp3', 'a.mp3']) == ['a.mp3', 'b.mp3']
+
+
+def test_natural_sort_extension_split():
+    """ns.PATH splits the final extension off, so a base-name prefix wins
+    regardless of how the extension compares to the next character
+    ('a.mkv' < 'a 1.mp4' even though '.' > ' ' bytewise)."""
+    assert os_sorted(['a 1.mp4', 'a.mkv']) == ['a.mkv', 'a 1.mp4']
+    # consistent with the matching audio side (same comparator -> same
+    # relative order -> correct pairing)
+    assert os_sorted(['a 1.mp3', 'a.mp3']) == ['a.mp3', 'a 1.mp3']
+
+
+def test_natural_sort_multi_and_numeric_extensions():
+    """Extensions peel one at a time, stopping at numeric suffixes
+    (natsort path_splitter's \\.\\d rule): 'file.2.txt' keeps 'file.2'."""
+    assert os_sorted(['file.10.txt', 'file.2.txt']) == \
+        ['file.2.txt', 'file.10.txt']
+    assert os_sorted(['x.tar.gz', 'x.tar']) == ['x.tar', 'x.tar.gz']
+
+
+def test_natural_sort_digits_before_letters():
+    """Keys start with a string chunk ('' before digits), so digit-leading
+    names sort before letter-leading ones - natsort's documented order."""
+    assert os_sorted(['foo.mp4', '1foo.mp4']) == ['1foo.mp4', 'foo.mp4']
+
+
+def test_natural_sort_unicode_nfd_equivalence():
+    """Composed and decomposed forms of the same text sort adjacently
+    (NFD normalization), not split apart by a byte-order artifact."""
+    composed = 'épisode2.mp4'       # é as one codepoint
+    decomposed = 'épisode2.mp4'    # e + combining acute
+    out = os_sorted(['zz.mp4', composed, decomposed, 'aa.mp4'])
+    assert out[0] == 'aa.mp4' and out[-1] == 'zz.mp4'
+    assert set(out[1:3]) == {composed, decomposed}
+
+
+def test_natural_sort_path_components():
+    """Directories compare component-wise: 'dir2/x' < 'dir10/x'."""
+    assert os_sorted(['dir10/x.mp4', 'dir2/x.mp4']) == \
+        ['dir2/x.mp4', 'dir10/x.mp4']
+
+
+def test_natural_sort_pairing_consistency():
+    """The property that actually protects users: a video list and its
+    description list sort into the same relative order, including the
+    adversarial mixed-extension + mixed-case shapes above."""
+    vids = ['Show ep10.mkv', 'show EP2.mp4', 'show ep1.mp4', 'Show.mp4']
+    auds = ['Show ep10.mp3', 'show EP2.flac', 'show ep1.mp3', 'Show.wav']
+    sv = [f.rsplit('.', 1)[0].casefold() for f in os_sorted(vids)]
+    sa = [f.rsplit('.', 1)[0].casefold() for f in os_sorted(auds)]
+    assert sv == sa == ['show', 'show ep1', 'show ep2', 'show ep10']
+
+
 def test_get_sorted_filenames_pairs_and_alt_flags(tmp_path):
     for name in ['b2.mp4', 'b10.mp4', 'b1.mp3', 'notes.txt']:
         (tmp_path / name).write_bytes(b'x')
