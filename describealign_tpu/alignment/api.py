@@ -314,10 +314,11 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     results = [None] * b
     in_flight = threading.Semaphore(max(2, device_depth + 1))
     use_compact = _use_compact()
+    use_fused = _use_fused_batch()
 
     def _consume_dense(combo_dev, w_st, fa, fv, na, nv):
         # one pull per pair: trailing w_st int16 words per row are the
-        # bitcast band starts (concat_chunks_with_starts)
+        # bitcast band starts (match_pair_combo / concat_chunks_with_starts)
         buf = np.asarray(combo_dev)
         starts_tracks = np.ascontiguousarray(
             buf[:, -w_st:]).view(np.int32).T              # (T, B_pad)
@@ -334,15 +335,15 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
         finally:
             in_flight.release()
 
-    def consume_compact(compact_dev, chunks, starts_dev, nb, fa, fv,
+    def consume_compact(compact_dev, dense_dispatch, n_tracks, nb, fa, fv,
                         na, nv):
         """Compact-transport consumer: ~30% fewer D2H bytes when the
         pair's live slots fit the provisioned budgets; on the overflow
-        flag (or a frontier cap miss) it falls back to pulling the dense
-        combo, which stays dispatchable via the kept chunk handles."""
+        flag (or a frontier cap miss) it falls back to the dense combo
+        via dense_dispatch() -> (combo_dev, w_st)."""
         try:
             buf = np.asarray(compact_dev)                 # (L,) u8
-            lay = matching.compact_layout(nb, starts_dev.shape[0])
+            lay = matching.compact_layout(nb, n_tracks)
             st = np.ascontiguousarray(
                 buf[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
             starts_grouped = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
@@ -355,10 +356,7 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                     ctx = None
             if ctx is None:
                 # overflow or frontier miss: dense fallback (rare)
-                combo = matching.concat_chunks_with_starts(chunks,
-                                                           starts_dev)
-                return _consume_dense(combo, 2 * starts_dev.shape[0],
-                                      fa, fv, na, nv)
+                return _consume_dense(*dense_dispatch(), fa, fv, na, nv)
             with ctx:
                 ctx.feed_compact(
                     buf[slice(*lay['counts'])],
@@ -390,14 +388,41 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 fav[0] = fa
                 fav[1] = fv
                 dev_av = jax.device_put(fav)
+                nb = matching.nb_for(npad)
+                if use_fused and matching.N_TRACKS == 2:
+                    # ONE device dispatch per pair (coarse + all fine
+                    # chunks + transport packing fused, matching.
+                    # _match_pair_fused) - chunk-level dispatch only buys
+                    # latency overlap, which batch mode gets from
+                    # cross-pair pipelining, while each dispatch costs
+                    # host client CPU + a tunnel round trip
+                    if use_compact:
+                        compact_dev = matching.match_pair_compact(
+                            dev_av, na, nv)
+                        futs.append((i, pool.submit(
+                            consume_compact, compact_dev,
+                            (lambda d=dev_av, a_=na, v_=nv:
+                             (matching.match_pair_combo(d, a_, v_),
+                              2 * matching.N_TRACKS)),
+                            matching.N_TRACKS, nb, fa, fv, na, nv)))
+                    else:
+                        combo_dev = matching.match_pair_combo(dev_av,
+                                                              na, nv)
+                        futs.append((i, pool.submit(
+                            consume, combo_dev, 2 * matching.N_TRACKS,
+                            fa, fv, na, nv)))
+                    continue
                 chunks, starts_dev, _ = matching.match_stream_pair(
                     dev_av, na, nv)
                 if use_compact and starts_dev.shape[0] == 2:
                     compact_dev = matching.concat_chunks_compact(
                         chunks, starts_dev)
                     futs.append((i, pool.submit(
-                        consume_compact, compact_dev, chunks, starts_dev,
-                        matching.nb_for(npad), fa, fv, na, nv)))
+                        consume_compact, compact_dev,
+                        (lambda ch=chunks, sd=starts_dev:
+                         (matching.concat_chunks_with_starts(ch, sd),
+                          2 * sd.shape[0])),
+                        starts_dev.shape[0], nb, fa, fv, na, nv)))
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
                         chunks, starts_dev)
@@ -603,6 +628,14 @@ def _use_compact():
     bytes + a live-slots-only LIS feed; dense fallback on budget
     overflow, so correctness never depends on it)."""
     return os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+
+
+def _use_fused_batch():
+    """Whether the batch path dispatches the whole matcher as ONE fused
+    program per pair (matching.match_pair_combo/_compact) instead of
+    coarse + per-chunk programs. Content-identical output buffers;
+    DESCRIBEALIGN_FUSED_BATCH=0 opts out (e.g. to bound compile scope)."""
+    return os.environ.get('DESCRIBEALIGN_FUSED_BATCH', '1') != '0'
 
 
 def _consume_stream_compact(bufs_iter, dense_chunks, starts_tracks):

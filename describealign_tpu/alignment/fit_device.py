@@ -129,14 +129,13 @@ def _pad_pow2(arr, n_pad, fill=0.0):
                   constant_values=fill)
 
 
-def fused_lasso_l1_device(b, data_cost, kappa, iters=ADMM_ITERS):
-    """Host-facing wrapper: pads to a power-of-two bucket, runs the ADMM on
-    the default JAX device, returns (t, break_mask) for the REAL region."""
+def _prep_problem(b, data_cost, kappa, n_pad):
+    """Shared padding + penalty-scale setup (see fused_lasso_l1_device):
+    returns (b_p, c_p, k_p, rho1, rho2) numpy arrays for one problem."""
     b = np.asarray(b, np.float64)
     data_cost = np.asarray(data_cost, np.float64)
     kappa = np.asarray(kappa, np.float64)
     n = len(b)
-    n_pad = 1 << max(4, int(np.ceil(np.log2(max(n, 2)))))
     b_p = _pad_pow2(b, n_pad, fill=float(b[-1]))
     c_p = _pad_pow2(data_cost, n_pad, fill=0.0)
     k_p = np.zeros(n_pad - 1)
@@ -150,12 +149,54 @@ def fused_lasso_l1_device(b, data_cost, kappa, iters=ADMM_ITERS):
         if np.any(data_cost > 0) else 1.0
     # per-edge rho2: thresholds kappa/rho2 all land at ~2*scale
     r2 = np.maximum(k_p, 1e-3) / (2.0 * scale)
+    return b_p, c_p, k_p, rho1, r2
+
+
+def fused_lasso_l1_device(b, data_cost, kappa, iters=ADMM_ITERS):
+    """Host-facing wrapper: pads to a power-of-two bucket, runs the ADMM on
+    the default JAX device, returns (t, break_mask) for the REAL region."""
+    n = len(b)
+    n_pad = 1 << max(4, int(np.ceil(np.log2(max(n, 2)))))
+    b_p, c_p, k_p, rho1, r2 = _prep_problem(b, data_cost, kappa, n_pad)
     t, z = _fused_lasso_admm(jnp.asarray(b_p), jnp.asarray(c_p),
                              jnp.asarray(k_p), rho1, jnp.asarray(r2),
                              iters=iters)
     t = np.asarray(t, np.float64)[:n]
     z = np.asarray(z, np.float64)[:max(n - 1, 1)]
     return t, z != 0.0
+
+
+@partial(jax.jit, static_argnames=('iters',))
+def _fused_lasso_admm_batched(b, c, k, rho1, rho2, iters):
+    return jax.vmap(
+        lambda bb, cc, kk, r1, r2: _fused_lasso_admm(bb, cc, kk, r1, r2,
+                                                     iters=iters)
+    )(b, c, k, rho1, rho2)
+
+
+def fused_lasso_l1_device_batched(problems, iters=ADMM_ITERS):
+    """ONE vmapped ADMM dispatch for a batch of (b, data_cost, kappa)
+    problems padded to a common power-of-two bucket - amortizes the
+    iteration latency of the 800-step scan (the dominant cost on real
+    hardware, PERF.md) across all problems. Returns a list of
+    (t, break_mask) per problem."""
+    n_pad = 1 << max(4, int(np.ceil(np.log2(
+        max(max(len(b) for b, _, _ in problems), 2)))))
+    B = len(problems)
+    bs = np.empty((B, n_pad))
+    cs = np.empty((B, n_pad))
+    ks = np.empty((B, n_pad - 1))
+    r1s = np.empty((B,))
+    r2s = np.empty((B, n_pad - 1))
+    for i, (b, c, k) in enumerate(problems):
+        bs[i], cs[i], ks[i], r1s[i], r2s[i] = _prep_problem(b, c, k, n_pad)
+    t, z = _fused_lasso_admm_batched(jnp.asarray(bs), jnp.asarray(cs),
+                                     jnp.asarray(ks), jnp.asarray(r1s),
+                                     jnp.asarray(r2s), iters)
+    t = np.asarray(t, np.float64)
+    z = np.asarray(z, np.float64)
+    return [(t[i, :len(b)], z[i, :max(len(b) - 1, 1)] != 0.0)
+            for i, (b, _, _) in enumerate(problems)]
 
 
 def _weighted_median(values, weights):
@@ -207,3 +248,60 @@ def solve_l1_fit_device(x, y):
 
     return dict(fit_err=fit_err, slopes=slopes, median_slope=median_slope,
                 smooth_y=smooth_y)
+
+
+def solve_l1_fit_device_batched(node_sets):
+    """solve_l1_fit_device for a batch of (x, y) node sets with the two
+    ADMM stages dispatched as ONE vmapped device program each (the
+    batched-dispatch experiment from the round-3 review: amortize the
+    800-iteration scan latency across all pairs' fits). Identical
+    per-problem math to the sequential entry; returns a list of result
+    dicts."""
+    prepped = []
+    for x, y in node_sets:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        xd = np.diff(x)
+        r = np.diff(y) / xd
+        jc = compute_jump_costs(x, y)
+        slope_cost = np.minimum(2.0, jc) * xd
+        kappa1 = np.full(max(len(x) - 2, 1), float(RATE_CHANGE_COST))
+        prepped.append((x, y, xd, r, jc, slope_cost, kappa1))
+
+    # ---- stage 1 (batched): piecewise-constant slopes ----------------------
+    stage1 = fused_lasso_l1_device_batched(
+        [(r, sc, k1) for (_, _, _, r, _, sc, k1) in prepped])
+
+    stage2_problems = []
+    mids = []
+    for (x, y, xd, r, jc, slope_cost, _), (theta, z_breaks) in zip(prepped,
+                                                                   stage1):
+        n = len(x)
+        seg_id = np.zeros(n - 1, int)
+        seg_id[1:] = np.cumsum(z_breaks[:n - 2].astype(int))
+        slopes = theta.copy()
+        for k in range(seg_id.max() + 1):
+            sel = seg_id == k
+            slopes[sel] = _weighted_median(r[sel], slope_cost[sel])
+        slopes = l1_refine_segment_slopes(x, y, seg_id, slopes)
+        node_slope = np.concatenate([slopes, slopes[-1:]])
+        b = y - node_slope * x
+        kappa2 = jc.copy()
+        kappa2[np.flatnonzero(np.diff(slopes) != 0)] = 0.0
+        stage2_problems.append((b, np.ones(n), kappa2))
+        mids.append((x, y, xd, slopes, node_slope))
+
+    # ---- stage 2 (batched): piecewise-constant offsets ---------------------
+    stage2 = fused_lasso_l1_device_batched(stage2_problems)
+
+    results = []
+    for (x, y, xd, slopes, node_slope), (beta, _) in zip(mids, stage2):
+        smooth_y = node_slope * x + beta
+        fit_err = y - smooth_y
+        order = np.argsort(slopes)
+        csum = np.cumsum(xd[order])
+        median_slope = float(
+            slopes[order][np.searchsorted(csum, csum[-1] / 2.0)])
+        results.append(dict(fit_err=fit_err, slopes=slopes,
+                            median_slope=median_slope, smooth_y=smooth_y))
+    return results

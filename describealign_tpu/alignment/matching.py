@@ -772,6 +772,67 @@ def compact_layout(nb, n_tracks):
     return off
 
 
+def _match_pair_fused(feats_av, len_a, len_v):
+    """Coarse + EVERY fine chunk in one traced program: the fine chunks run
+    as a lax.scan over block offsets (per-step intermediates are freed, the
+    packed transport rows stack into the scan output), so the whole
+    matcher costs ONE dispatch instead of 1 + n_chunks. The batch path
+    pulls a single buffer per pair anyway - chunk-level dispatch only buys
+    latency overlap, which batch mode gets from cross-pair pipelining -
+    while each dispatch costs host CPU (client serialization) and a tunnel
+    round trip. Returns (packed (nb, W) i16 rows, starts_tracks (T, B_pad))."""
+    state = _match_coarse_impl(feats_av[0], len_a, feats_av[1], len_v)
+    ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks = state
+    b_pad = starts_tracks.shape[1]
+    n_chunks = b_pad // FINE_CHUNK
+    nb = nb_for(feats_av.shape[2])
+
+    def step(_, b0):
+        starts_chunk = jax.lax.dynamic_slice_in_dim(starts_tracks, b0,
+                                                    FINE_CHUNK, axis=1)
+        quals, offs, _ = _fine_tracks(ms_a, norms_a, a_mask,
+                                      ms_v, norms_v, v_mask,
+                                      starts_chunk, b0, FINE_CHUNK,
+                                      jnp.int32(nb))
+        band1 = _pack_slots(quals[:, :, :TOP_K], offs[:, :, :TOP_K])
+        rescue = _pack_slots(quals[:, ::2, TOP_K:], offs[:, ::2, TOP_K:])
+        return None, jnp.concatenate([band1, rescue], axis=1)
+
+    _, packed = jax.lax.scan(
+        step, None, jnp.arange(n_chunks, dtype=jnp.int32) * FINE_CHUNK)
+    packed = packed.reshape(n_chunks * FINE_CHUNK, -1)[:nb]
+    return packed, starts_tracks
+
+
+@partial(jax.jit, static_argnames=())
+def match_pair_combo(feats_av, len_a, len_v):
+    """ONE-dispatch batch transport, dense: the fused matcher's packed rows
+    with the band starts bitcast into trailing int16 words per row (same
+    layout as concat_chunks_with_starts)."""
+    packed, starts_tracks = _match_pair_fused(feats_av, len_a, len_v)
+    st16 = jax.lax.bitcast_convert_type(
+        jnp.transpose(starts_tracks).astype(jnp.int32),
+        jnp.int16)[:packed.shape[0]]
+    return jnp.concatenate(
+        [packed, st16.reshape(st16.shape[0], -1)], axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def match_pair_compact(feats_av, len_a, len_v):
+    """ONE-dispatch batch transport, compacted (layout of compact_layout;
+    same candidate content as match_pair_combo when the overflow flag is
+    0 - the consumer re-dispatches the dense program on overflow)."""
+    packed, starts_tracks = _match_pair_fused(feats_av, len_a, len_v)
+    nb = packed.shape[0]
+    k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
+    b1, b2 = _compact_budgets(nb)
+    sections = _compact_sections(packed, k2, b1, b2)
+    st_u8 = jax.lax.bitcast_convert_type(
+        jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
+        jnp.uint8).reshape(-1)
+    return jnp.concatenate(sections[:2] + [st_u8] + sections[2:])
+
+
 def match_stream(dev_a, len_a, dev_v, len_v):
     """Dispatch the full streaming matcher. Returns (chunk_outputs,
     starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is

@@ -277,15 +277,72 @@ def test_align_batch_compact_transport_matches(monkeypatch):
         np.testing.assert_array_equal(g[1], w[1])
         assert g[2] == w[2] and g[4] == w[4]
 
-    # force overflow: budgets far below any real occupancy
+    # force overflow: budgets far below any real occupancy (the budget
+    # constants are baked into the jitted transport traces - both the
+    # chunked and the fused one - so clear them around the patch)
     monkeypatch.setattr(matching, 'COMPACT_BUDGET1', 0.01)
     monkeypatch.setattr(matching, 'COMPACT_BUDGET2', 0.01)
     matching.concat_chunks_compact.clear_cache()
+    matching.match_pair_compact.clear_cache()
     try:
         got2 = align_batch_from_pcm(pairs)
     finally:
         matching.concat_chunks_compact.clear_cache()
+        matching.match_pair_compact.clear_cache()
     for g, w in zip(got2, want):
+        np.testing.assert_array_equal(g[0], w[0])
+        np.testing.assert_array_equal(g[1], w[1])
+        assert g[2] == w[2] and g[4] == w[4]
+
+
+def test_fused_batch_transport_matches_chunked():
+    """The ONE-dispatch fused matcher programs (match_pair_combo /
+    match_pair_compact) must produce byte-identical transport buffers to
+    the chunked dispatch path they replace, and align_batch_from_pcm must
+    return identical results either way (DESCRIBEALIGN_FUSED_BATCH)."""
+    import jax
+    from describealign_tpu.alignment import matching
+    from describealign_tpu.alignment.api import (_bucket_pad,
+                                                 align_batch_from_pcm,
+                                                 host_features_padded)
+
+    def to_i16(x):
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    video, audio, _ = build_pair(content_seconds=45.0,
+                                 narration=((15.0, 3.0), (30.0, 4.0)),
+                                 lead_in=0.0, seed=7)
+    video, audio = to_i16(video), to_i16(audio)
+    sv, sa = video.shape[1], audio.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(video, sv, npad)
+    fa, na = host_features_padded(audio, sa, npad)
+    fav = np.empty((2, 5, npad), np.float16)
+    fav[0] = fa
+    fav[1] = fv
+    dev_av = jax.device_put(fav)
+
+    chunks, starts_dev, _ = matching.match_stream_pair(dev_av, na, nv)
+    want_dense = np.asarray(
+        matching.concat_chunks_with_starts(chunks, starts_dev))
+    got_dense = np.asarray(matching.match_pair_combo(dev_av, na, nv))
+    np.testing.assert_array_equal(got_dense, want_dense)
+
+    want_comp = np.asarray(
+        matching.concat_chunks_compact(chunks, starts_dev))
+    got_comp = np.asarray(matching.match_pair_compact(dev_av, na, nv))
+    np.testing.assert_array_equal(got_comp, want_comp)
+
+    # end-to-end: fused on (default) vs off
+    import os
+    pairs = [(video, audio)]
+    want = align_batch_from_pcm(pairs)
+    os.environ['DESCRIBEALIGN_FUSED_BATCH'] = '0'
+    try:
+        got = align_batch_from_pcm(pairs)
+    finally:
+        del os.environ['DESCRIBEALIGN_FUSED_BATCH']
+    for g, w in zip(got, want):
         np.testing.assert_array_equal(g[0], w[0])
         np.testing.assert_array_equal(g[1], w[1])
         assert g[2] == w[2] and g[4] == w[4]
