@@ -523,6 +523,18 @@ def warmup_compile(max_minutes):
         np.asarray(starts_dev)
         out = matching.match_from_features(dev_a, 210 * 30, dev_v, 210 * 30)
         np.asarray(out[0])
+        if _use_fused_batch() and matching.N_TRACKS == 2:
+            # the batch path (multi-pair combine()) dispatches the fused
+            # one-program matcher; warm whichever transport it will use
+            fav = np.zeros((2, 5, npad), np.float16)
+            fav[:, 0, :210 * 30] = 1.0
+            dev_av = jax.device_put(fav)
+            if _use_compact():
+                np.asarray(matching.match_pair_compact(dev_av, 210 * 30,
+                                                       210 * 30))
+            else:
+                np.asarray(matching.match_pair_combo(dev_av, 210 * 30,
+                                                     210 * 30))
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 

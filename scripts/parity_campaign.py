@@ -77,6 +77,25 @@ def draw_scenario(rng, seed, profile="default"):
         lead = float(rng.uniform(5.0, 120.0))
         n_skips = int(rng.integers(2, 9))
         durs_hi = 12.0
+    elif profile == "clipped":
+        # loudness-war content: both streams driven into hard clipping
+        # (flattened peaks gut the energy feature's dynamic range and
+        # raise ZCR density), plus a DC offset on the description side
+        # only (a common cheap-recorder artifact; signbit-based ZCR and
+        # the energy floor both shift asymmetrically)
+        content_s = float(rng.uniform(90, 200))
+        lead = float(rng.uniform(3.0, 30.0))
+        n_skips = int(rng.integers(0, 5))
+        durs_hi = 8.0
+    elif profile == "narrowband":
+        # phone-quality description track: the audio side is band-limited
+        # to ~300-3400 Hz while the video keeps full bandwidth - the band
+        # cascade's three features see asymmetric spectra, stressing the
+        # 2-of-3 + 1-of-2 gating and the least-squares feature rescale
+        content_s = float(rng.uniform(90, 200))
+        lead = float(rng.uniform(3.0, 30.0))
+        n_skips = int(rng.integers(0, 5))
+        durs_hi = 8.0
     else:
         content_s = float(rng.uniform(60, 150))
         lead = float(rng.uniform(3.0, 25.0))
@@ -150,6 +169,22 @@ def draw_scenario(rng, seed, profile="default"):
     pieces.append(content[int(cursor * SR):])
     audio_sig = np.concatenate(pieces)
 
+    if profile == "clipped":
+        gain = float(rng.uniform(3.0, 9.0))
+        dc = float(rng.choice([-1, 1])) * float(rng.uniform(300.0, 1500.0))
+        video_sig = np.clip(video_sig * gain, -32000.0, 32000.0)
+        audio_sig = np.clip(audio_sig * gain, -32000.0, 32000.0) + dc
+        bed = ("" if bed == "none" else bed + "+") + \
+            f"clip(x{gain:.1f})+dc({dc:+.0f})"
+    elif profile == "narrowband":
+        from scipy.signal import butter, sosfilt
+        f_lo = float(rng.uniform(250.0, 400.0))
+        f_hi = float(rng.uniform(3000.0, 3800.0))
+        sos = butter(4, [f_lo, f_hi], btype='bandpass', fs=SR, output='sos')
+        audio_sig = sosfilt(sos, audio_sig)
+        bed = ("" if bed == "none" else bed + "+") + \
+            f"bandpass({f_lo:.0f}-{f_hi:.0f}Hz)"
+
     def q(sig):
         return np.clip(np.round(sig), -32768, 32767).astype(
             np.int16)[None].astype(np.float16)
@@ -160,6 +195,10 @@ def draw_scenario(rng, seed, profile="default"):
 
 
 def run_one(ref, da, video, audio):
+    """Run both aligners; each side that raises RuntimeError (the
+    'Alignment failed' contract, reference 699/992) yields None instead,
+    so the caller can score raise-parity rather than conflating 'the
+    reference gave up' with 'we disagreed'."""
     import io
     from contextlib import redirect_stdout
     vf = [np.asarray(f) for f in
@@ -170,11 +209,17 @@ def run_one(ref, da, video, audio):
         + [np.asarray(f) for f in ref.get_freq_bands(audio)]
     quiet = io.StringIO()
     with redirect_stdout(quiet):
-        r = ref.align(vf, af, vf[0], af[0])
-        o = da.align([np.asarray(f, np.float32) for f in vf],
-                     [np.asarray(f, np.float32) for f in af],
-                     np.asarray(vf[0], np.float32),
-                     np.asarray(af[0], np.float32))
+        try:
+            r = ref.align(vf, af, vf[0], af[0])
+        except RuntimeError:
+            r = None
+        try:
+            o = da.align([np.asarray(f, np.float32) for f in vf],
+                         [np.asarray(f, np.float32) for f in af],
+                         np.asarray(vf[0], np.float32),
+                         np.asarray(af[0], np.float32))
+        except RuntimeError:
+            o = None
     return r, o
 
 
@@ -243,6 +288,14 @@ def diag(indices, camp_seed=20260816, profile="default"):
         if i not in indices:
             continue
         r, o = run_one(ref, da, video, audio)
+        if r is None or o is None:
+            # score whichever side survived against ground truth: a raise
+            # opposite an ACCURATE map is a robustness gap, a raise
+            # opposite a WRONG map is the correct refusal
+            rs = "RAISE" if r is None else f"vs_truth={err_vs_truth(r, meta):.3f}s sim={float(r[2]):.1f}%"
+            os_ = "RAISE" if o is None else f"vs_truth={err_vs_truth(o, meta):.3f}s sim={float(o[2]):.1f}%"
+            print(f"[{i:02d}] ref: {rs} | ours: {os_} {meta}", flush=True)
+            continue
         map_err, sim_err = compare(r, o)
         print(f"[{i:02d}] ref_vs_truth={err_vs_truth(r, meta):.3f}s "
               f"ours_vs_truth={err_vs_truth(o, meta):.3f}s "
@@ -277,12 +330,16 @@ def main():
         if i < start:
             continue                  # advance the rng, skip the run
         t = time.time()
-        try:
-            r, o = run_one(ref, da, video, audio)
+        r, o = run_one(ref, da, video, audio)
+        if r is None or o is None:
+            map_err, sim_err = float('nan'), float('nan')
+            # both sides refusing ("Alignment failed") on the same draw IS
+            # parity; one-sided refusal is a real divergence
+            status = ("RAISE-BOTH" if r is None and o is None else
+                      "RAISE-REF-ONLY" if r is None else "RAISE-OURS-ONLY")
+        else:
             map_err, sim_err = compare(r, o)
             status = "OK " if map_err < 0.35 and sim_err < 10 else "FAIL"
-        except RuntimeError as e:
-            map_err, sim_err, status = float('nan'), float('nan'), f"RAISE({e})"
         print(f"[{i:02d}] {status} map_err={map_err:6.3f} "
               f"sim_err={sim_err:5.2f} ({time.time()-t:5.1f}s) {meta}",
               flush=True)

@@ -103,6 +103,17 @@ def test_cli_version_provenance_compiled(capsys, monkeypatch):
     assert "content hash:" not in out
 
 
+def test_cli_warmup_compiles_buckets(capsys):
+    """--warmup MIN pre-compiles every bucket a MIN-minute file can hit,
+    including the fused batch-transport program the multi-pair combine()
+    path dispatches (api.warmup_compile)."""
+    from describealign_tpu.cli import command_line_interface
+    command_line_interface(['--warmup', '1'])
+    out = capsys.readouterr().out
+    assert "compiling bucket" in out
+    assert "warmed 1 shape buckets." in out
+
+
 def test_alignment_cache_reused(wav_pair, tmp_path, capsys, monkeypatch):
     """Second run with a fresh output dir must reuse the cached alignment."""
     import describealign_tpu as da
