@@ -520,21 +520,35 @@ def warmup_compile(max_minutes):
         chunks, starts_dev, _ = matching.match_stream(dev_a, 210 * 30,
                                                       dev_v, 210 * 30)
         np.asarray(chunks[0])
+        if _use_compact() and starts_dev.shape[0] == 2:
+            # single-pair production path pulls per-chunk compact buffers
+            k2 = (starts_dev.shape[0] - 1) * (matching.TOP_K // 2)
+            np.asarray(matching.compact_chunk(chunks[0], k2=k2))
         np.asarray(starts_dev)
         out = matching.match_from_features(dev_a, 210 * 30, dev_v, 210 * 30)
         np.asarray(out[0])
+        # the batch path (multi-pair combine()) uses the combined
+        # ([0]=audio, [1]=video) upload; warm whichever dispatch mode +
+        # transport it will use under the current env
+        fav = np.zeros((2, 5, npad), np.float16)
+        fav[:, 0, :210 * 30] = 1.0
+        dev_av = jax.device_put(fav)
         if _use_fused_batch() and matching.N_TRACKS == 2:
-            # the batch path (multi-pair combine()) dispatches the fused
-            # one-program matcher; warm whichever transport it will use
-            fav = np.zeros((2, 5, npad), np.float16)
-            fav[:, 0, :210 * 30] = 1.0
-            dev_av = jax.device_put(fav)
             if _use_compact():
                 np.asarray(matching.match_pair_compact(dev_av, 210 * 30,
                                                        210 * 30))
             else:
                 np.asarray(matching.match_pair_combo(dev_av, 210 * 30,
                                                      210 * 30))
+        else:
+            chunks, starts_dev, _ = matching.match_stream_pair(
+                dev_av, 210 * 30, 210 * 30)
+            if _use_compact() and starts_dev.shape[0] == 2:
+                np.asarray(matching.concat_chunks_compact(chunks,
+                                                          starts_dev))
+            else:
+                np.asarray(matching.concat_chunks_with_starts(chunks,
+                                                              starts_dev))
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 
@@ -638,16 +652,24 @@ def _pull_threads():
 def _use_compact():
     """Whether the compacted candidate transport is enabled (fewer D2H
     bytes + a live-slots-only LIS feed; dense fallback on budget
-    overflow, so correctness never depends on it)."""
-    return os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+    overflow, so correctness never depends on it). Default ON: the
+    on-link A/B (scripts/bench_batch_ab.py, ROUND4.md) measured it
+    +22-36% batch throughput in both dispatch modes; set
+    DESCRIBEALIGN_COMPACT=0 for the dense transport."""
+    return os.environ.get('DESCRIBEALIGN_COMPACT', '1') != '0'
 
 
 def _use_fused_batch():
     """Whether the batch path dispatches the whole matcher as ONE fused
     program per pair (matching.match_pair_combo/_compact) instead of
-    coarse + per-chunk programs. Content-identical output buffers;
-    DESCRIBEALIGN_FUSED_BATCH=0 opts out (e.g. to bound compile scope)."""
-    return os.environ.get('DESCRIBEALIGN_FUSED_BATCH', '1') != '0'
+    coarse + per-chunk programs. Content-identical output buffers.
+    Default OFF: the on-link A/B (PERF.md round 4) measured the chunked
+    stream + compact transport fastest (5.94 s vs 7.03 s fused on the
+    8-pair bench) because per-chunk pulls overlap the C++ LIS feed while
+    the fused program's single end-of-dispatch pull cannot; set
+    DESCRIBEALIGN_FUSED_BATCH=1 to opt in (e.g. on low-latency links
+    where per-dispatch round trips dominate)."""
+    return os.environ.get('DESCRIBEALIGN_FUSED_BATCH', '0') == '1'
 
 
 def _consume_stream_compact(bufs_iter, dense_chunks, starts_tracks):

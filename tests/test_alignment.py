@@ -268,6 +268,7 @@ def test_align_batch_compact_transport_matches(monkeypatch):
         video, audio, _ = build_pair(content_seconds=40.0, narration=(),
                                      lead_in=6.0, seed=seed)
         pairs.append((to_i16(video), to_i16(audio)))
+    monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '0')
     want = align_batch_from_pcm(pairs)
 
     monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
@@ -333,12 +334,14 @@ def test_fused_batch_transport_matches_chunked():
     got_comp = np.asarray(matching.match_pair_compact(dev_av, na, nv))
     np.testing.assert_array_equal(got_comp, want_comp)
 
-    # end-to-end: fused on (default) vs off
+    # end-to-end: fused (opt-in) vs chunked (default) — pin both sides
+    # explicitly so the test stays meaningful whatever the default is
     import os
     pairs = [(video, audio)]
-    want = align_batch_from_pcm(pairs)
-    os.environ['DESCRIBEALIGN_FUSED_BATCH'] = '0'
+    os.environ['DESCRIBEALIGN_FUSED_BATCH'] = '1'
     try:
+        want = align_batch_from_pcm(pairs)
+        os.environ['DESCRIBEALIGN_FUSED_BATCH'] = '0'
         got = align_batch_from_pcm(pairs)
     finally:
         del os.environ['DESCRIBEALIGN_FUSED_BATCH']
@@ -378,6 +381,7 @@ def test_streamed_compact_transport_matches(monkeypatch):
         dev_a = jax.device_put(fa.astype(np.float16))
         _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
         assert n_chunks >= 3, f"expected multi-chunk stream, got {n_chunks}"
+        monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '0')
         want_y, want_x = _streamed_lis(dev_a, na, dev_v, nv)
 
         monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
