@@ -932,6 +932,51 @@ int pv_phase_lock(const float* phase_a, const float* mag,
   return 0;
 }
 
+// Quadratic (3-point Lagrange) resampler - native twin of
+// stretch/resample.py::_resample_host (the reference's pitch-shifting
+// interpolation semantics, describealign.py:233-244/412-414: f64 sample
+// positions, f32 Lagrange weighting, f16-grid write-back). Bit-equal to
+// the numpy twin: products/sums are explicit temporaries (no FMA
+// contraction in the combine), std::nearbyint matches np.round's
+// half-to-even, f16_grid matches astype(f16).astype(f32). The numpy
+// path's 3 media-length fancy-index gathers plus broadcast multiplies
+// measure ~10 s per 5-minute stereo segment on the 1-core bench host;
+// this single pass with sequential-locality loads runs the same segment
+// in well under a second.
+//   x: (c, n) f32 channel-major; out: (c, num_out) f32. Returns 0.
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+int resample_quad(const float* x, int64_t c, int64_t n, double x_start,
+                  double x_end, int64_t num_out, float* out) {
+  if (c < 1 || n < 3 || num_out < 1) return 1;
+  const double step = (x_end - x_start) / static_cast<double>(num_out);
+  const double bmax = static_cast<double>(n - 2);
+  for (int64_t ch = 0; ch < c; ++ch) {
+    const float* xc = x + ch * n;
+    float* oc = out + ch * num_out;
+    for (int64_t i = 0; i < num_out; ++i) {
+      const double si = step * static_cast<double>(i);
+      const double p = x_start + si;
+      double b = std::nearbyint(p);
+      if (b < 1.0) b = 1.0;
+      if (b > bmax) b = bmax;
+      const int64_t bi = static_cast<int64_t>(b);
+      const float t = static_cast<float>(p - b);
+      const float th = 0.5f * t;
+      const float w_m1 = th * (t - 1.0f);
+      const float w_0 = (1.0f - t) * (1.0f + t);
+      const float w_p1 = th * (t + 1.0f);
+      const float p0 = w_m1 * xc[bi - 1];
+      const float p1 = w_0 * xc[bi];
+      const float p2 = w_p1 * xc[bi + 1];
+      const float s01 = p0 + p1;
+      oc[i] = f16_grid(s01 + p2);
+    }
+  }
+  return 0;
+}
+#pragma GCC pop_options
+
 // np.convolve twin for the continuity/compression stages (f64 path data).
 //   np_mode: 0 = 'valid' (out length n-t+1), 1 = 'same' (out length n,
 //   zero-padded edges). Tap-major shift-and-add: each tap is one

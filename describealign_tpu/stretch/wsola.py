@@ -7,7 +7,9 @@ autocorrelations) and splices with Hann crossfades, preserving pitch and
 timbre exactly. Our default stretcher is the phase vocoder
 (phase_vocoder.py, the TPU-idiomatic redesign); this module provides the
 reference's algorithm for users who want its exact splicing character
-(DESCRIBEALIGN_STRETCH=wsola).
+(the DEFAULT stretcher since round 4: it is the reference's own
+speech-oriented algorithm AND measured 5x faster than the phase vocoder
+on all-stretched media; DESCRIBEALIGN_STRETCH=pv selects the vocoder).
 
 Host implementation: the windowed autocorrelations are vectorized numpy
 (the cumulative-sum trick of describealign.py:272-291, computed in bounded

@@ -70,7 +70,7 @@ def main():
                 with redirect_stdout(quiet):
                     replace_aligned_segments(
                         va, audio_st.copy(), x, y,
-                        no_pitch_correction=(tag == 'no_pitch'))
+                        no_pitch_correction=tag.startswith('no_pitch'))
                 best = min(best, time.time() - t0)
             print(f"{tag:22s} {best:6.2f} s  "
                   f"({sv / 44100 / 60 / best:5.2f} video-min/s)", flush=True)
@@ -81,10 +81,12 @@ def main():
                 else:
                     os.environ[k] = v
 
-    run("pv host (default)", {"DESCRIBEALIGN_PV": "host"})
-    run("pv device", {"DESCRIBEALIGN_PV": "device"})
-    run("no_pitch", {})
-    run("wsola parity", {"DESCRIBEALIGN_STRETCH": "wsola"})
+    run("wsola (default)", {})
+    run("pv host", {"DESCRIBEALIGN_STRETCH": "pv", "DESCRIBEALIGN_PV": "host"})
+    run("pv device", {"DESCRIBEALIGN_STRETCH": "pv",
+                      "DESCRIBEALIGN_PV": "device"})
+    run("no_pitch (host resample)", {})
+    run("no_pitch (device resample)", {"DESCRIBEALIGN_RESAMPLE": "device"})
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ def main():
             events.append((t0 - wall0[0], t1 - wall0[0], c1 - c0, tag, i))
         return t1, c1
 
-    use_compact = os.environ.get('DESCRIBEALIGN_COMPACT', '0') == '1'
+    use_compact = api._use_compact()
 
     def run_once(device_depth=4, host_workers=2):
         events.clear()

@@ -87,9 +87,10 @@ def test_wsola_preserves_pitch_and_samples():
     assert abs(f2 - 440) < 3.0
 
 
-def test_wsola_backend_selectable(monkeypatch):
+def test_wsola_default_stretcher():
+    """WSOLA is the default stretcher (reference-parity algorithm AND 5x
+    faster than the PV on all-stretched media, PERF.md round 4)."""
     from describealign_tpu.stretch import segments
-    monkeypatch.setenv('DESCRIBEALIGN_STRETCH', 'wsola')
     video = tone(300, 10.0)
     audio = tone(440, 10.5)
     # one segment: audio [0, 10.3s] -> video [0, 10.0s] (3% stretch)
@@ -97,3 +98,63 @@ def test_wsola_backend_selectable(monkeypatch):
         video, audio, np.array([0.0, 10.3]), np.array([0.0, 10.0]), False)
     f = dominant_freq(video[:, SR:-SR])
     assert abs(f - 440) < 3.0  # replaced with (unshifted) description pitch
+
+
+def test_pv_backend_selectable(monkeypatch):
+    """DESCRIBEALIGN_STRETCH=pv routes stretched segments through the
+    phase vocoder."""
+    from describealign_tpu.stretch import segments
+    monkeypatch.setenv('DESCRIBEALIGN_STRETCH', 'pv')
+    video = tone(300, 10.0)
+    audio = tone(440, 10.5)
+    segments.replace_aligned_segments(
+        video, audio, np.array([0.0, 10.3]), np.array([0.0, 10.0]), False)
+    f = dominant_freq(video[:, SR:-SR])
+    assert abs(f - 440) < 3.0
+
+
+def test_resample_native_matches_numpy(monkeypatch):
+    """The native resample_quad kernel is bit-equal to the numpy twin
+    (f64 positions, half-to-even rounding, f32 weighting order, f16-grid
+    write-back) - on noise, where any position/rounding drift shows."""
+    import pytest as _pytest
+    from describealign_tpu.alignment import native as native_mod
+    from describealign_tpu.stretch import resample
+
+    if native_mod.native_lib() is None or not hasattr(
+            native_mod.native_lib(), 'resample_quad'):
+        _pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    sig = (rng.standard_normal((2, int(4.0 * SR))) * 9000).astype(np.float32)
+    n_out = int(sig.shape[1] * 0.96)
+    got_native = resample.resample_segment(sig, 13.7, sig.shape[1] - 2.2,
+                                           n_out)
+    monkeypatch.setattr(resample, 'native_lib', lambda: None, raising=False)
+    # the numpy twin imports native_lib inside _resample_host; patch the
+    # module it imports from
+    monkeypatch.setattr(native_mod, 'native_lib', lambda: None)
+    got_numpy = resample.resample_segment(sig, 13.7, sig.shape[1] - 2.2,
+                                          n_out)
+    np.testing.assert_array_equal(got_native, got_numpy)
+
+
+def test_resample_host_matches_device():
+    """The default host resampler and the bucketed device kernel agree
+    (identical 3-point Lagrange math; host positions are f64, device f32 -
+    the ~1e-3-sample position error is only visible on non-smooth signals,
+    so compare on band-limited content like real audio)."""
+    import os
+    sig = np.concatenate([tone(440, 3.0, amp=5000), tone(523, 3.0, amp=5000)])
+    n_out = int(sig.shape[1] * 1.04)
+    got_host = resample_segment(sig, 7.0, sig.shape[1] - 3.0, n_out)
+    os.environ['DESCRIBEALIGN_RESAMPLE'] = 'device'
+    try:
+        got_dev = resample_segment(sig, 7.0, sig.shape[1] - 3.0, n_out)
+    finally:
+        del os.environ['DESCRIBEALIGN_RESAMPLE']
+    assert got_host.shape == got_dev.shape == (2, n_out)
+    # f16 grid step at amp 5000 is 4; f32 position error contributes ~1
+    np.testing.assert_allclose(got_host, got_dev, atol=16.0)
+    # and the host path must preserve pitch like the device one
+    f = dominant_freq(got_host[:1, SR:-SR])
+    assert abs(f - 440 / 1.04) < 2.0

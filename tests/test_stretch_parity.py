@@ -129,6 +129,9 @@ def _our_decisions(x, y, no_pitch_correction, monkeypatch):
 
     monkeypatch.setattr(segments, 'resample_segment', fake_resample)
     monkeypatch.setattr(segments, 'pv_stretch', fake_pv)
+    # route stretch decisions through the (patched) pv entry so they are
+    # observable; the decision RULES are identical for every stretcher
+    monkeypatch.setenv('DESCRIBEALIGN_STRETCH', 'pv')
     n_video = int((y[-1] + 1.0) * SR)
     n_audio = int((x[-1] + 1.0) * SR)
     video_arr = np.full((1, n_video), DC, np.float32)
