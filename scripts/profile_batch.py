@@ -78,7 +78,21 @@ def main():
                     buf[slice(*lay['starts'])]).view(np.int32).reshape(
                         nb, -1)
                 sg = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
-                assert not buf[0], "compact overflow on the bench batch"
+                if buf[0]:
+                    # budget overflow: the production dense fallback
+                    combo = np.asarray(matching.concat_chunks_with_starts(
+                        chunks, starts_dev))
+                    t0, c0 = ev('pull_dense_fb', i, t0, c0)
+                    w_st = 2 * starts_dev.shape[0]
+                    starts = np.ascontiguousarray(
+                        combo[:, -w_st:]).view(np.int32).T
+                    y, x = api._consume_stream(iter([combo[:, :-w_st]]),
+                                               starts)
+                    t0, c0 = ev('lis', i, t0, c0)
+                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                                   'native', True)
+                    ev('tail', i, t0, c0)
+                    return r
                 with lis.LisStream(int(sg.max()) + 32768) as ctx:
                     ctx.feed_compact(
                         buf[slice(*lay['counts'])],
