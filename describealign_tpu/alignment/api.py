@@ -337,33 +337,44 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
 
     def consume_compact(compact_dev, dense_dispatch, n_tracks, nb, fa, fv,
                         na, nv):
-        """Compact-transport consumer: ~30% fewer D2H bytes when the
-        pair's live slots fit the provisioned budgets; on the overflow
-        flag (or a frontier cap miss) it falls back to the dense combo
-        via dense_dispatch() -> (combo_dev, w_st)."""
+        """Compact-transport consumer: pulls the fixed counts+starts
+        region, recomputes the exact live-plane sizes from the counts,
+        then pulls just the occupied live bytes (quantized to
+        lay['step'] so the eager slice programs stay bounded per shape
+        bucket). Transfers are occupancy-exact with no budget to
+        overflow; the dense fallback via dense_dispatch() remains only
+        for an LIS frontier-cap miss."""
         try:
-            buf = np.asarray(compact_dev)                 # (L,) u8
             lay = matching.compact_layout(nb, n_tracks)
+            fixed = np.asarray(compact_dev[:lay['fixed_end']])
+            counts = fixed[slice(*lay['counts'])]
             st = np.ascontiguousarray(
-                buf[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
+                fixed[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
             starts_grouped = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
             max_key = int(starts_grouped.max()) + 32768
             ctx = None
-            if not buf[0] and max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
+            if max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
                 try:
                     ctx = lis.LisStream(max_key)
                 except RuntimeError:
                     ctx = None
             if ctx is None:
-                # overflow or frontier miss: dense fallback (rare)
+                # frontier cap miss: dense fallback (rare)
                 return _consume_dense(*dense_dispatch(), fa, fv, na, nv)
+            t1 = int(np.sum(counts & 15, dtype=np.int64))
+            t2 = int(np.sum(counts >> 4, dtype=np.int64))
+            sec = matching.compact2_live_offsets(t1, t2)
+            p0 = lay['live']
+            q = min(lay['live_max'],
+                    -(-sec['total'] // lay['step']) * lay['step'])
+            live = np.asarray(compact_dev[p0:p0 + q])
             with ctx:
                 ctx.feed_compact(
-                    buf[slice(*lay['counts'])],
-                    buf[slice(*lay['codes1'])], buf[slice(*lay['lo1'])],
-                    buf[slice(*lay['hi1'])],
-                    buf[slice(*lay['codes2'])], buf[slice(*lay['lo2'])],
-                    buf[slice(*lay['hi2'])],
+                    counts,
+                    live[slice(*sec['codes1'])], live[slice(*sec['lo1'])],
+                    live[slice(*sec['hi1'])],
+                    live[slice(*sec['codes2'])], live[slice(*sec['lo2'])],
+                    live[slice(*sec['hi2'])],
                     starts_grouped, blk=210)
                 y, x = ctx.finish()
             return _host_stages_from_path(y, x, fa, fv, na, nv,
@@ -533,10 +544,11 @@ def warmup_compile(max_minutes):
         fav = np.zeros((2, 5, npad), np.float16)
         fav[:, 0, :210 * 30] = 1.0
         dev_av = jax.device_put(fav)
+        compact_dev = None
         if _use_fused_batch() and matching.N_TRACKS == 2:
             if _use_compact():
-                np.asarray(matching.match_pair_compact(dev_av, 210 * 30,
-                                                       210 * 30))
+                compact_dev = matching.match_pair_compact(dev_av, 210 * 30,
+                                                          210 * 30)
             else:
                 np.asarray(matching.match_pair_combo(dev_av, 210 * 30,
                                                      210 * 30))
@@ -544,11 +556,24 @@ def warmup_compile(max_minutes):
             chunks, starts_dev, _ = matching.match_stream_pair(
                 dev_av, 210 * 30, 210 * 30)
             if _use_compact() and starts_dev.shape[0] == 2:
-                np.asarray(matching.concat_chunks_compact(chunks,
-                                                          starts_dev))
+                compact_dev = matching.concat_chunks_compact(chunks,
+                                                             starts_dev)
             else:
                 np.asarray(matching.concat_chunks_with_starts(chunks,
                                                               starts_dev))
+        if compact_dev is not None:
+            # the consumer pulls [0:fixed_end] then a step-quantized live
+            # slice; dispatching each slice size compiles it (results land
+            # in the persistent cache) without pulling the bytes
+            lay = matching.compact_layout(matching.nb_for(npad),
+                                          matching.N_TRACKS)
+            np.asarray(compact_dev[:lay['fixed_end']])
+            p0, step = lay['live'], lay['step']
+            q = step
+            while q < lay['live_max']:
+                compact_dev[p0:p0 + q]
+                q += step
+            compact_dev[p0:p0 + lay['live_max']]
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 

@@ -606,28 +606,105 @@ def concat_chunks_with_starts(chunks, starts_tracks):
 
 # --- compacted batch transport ------------------------------------------
 # Dense transport ships every top-K slot; measured live-slot occupancy on
-# matched content is ~48% band-1 / ~69% rescue (zeros are a SUFFIX per
-# frame: top_k orders by quality and the u8 grid floor sits below the
+# matched content is ~48-89% band-1 / ~63-94% rescue (zeros are a SUFFIX
+# per frame: top_k orders by quality and the u8 grid floor sits below the
 # gate floor, so dead slots quantize to code 0 and live ones never do).
-# The compact layout ships per-frame counts + the live prefix only, into
-# FIXED budget-sized planes (shapes stay static per bucket, one pull):
-#   [0]        overflow flag (u8)
+# The pair-level compact layout ships per-frame counts + the live prefix
+# only, with ALL six live planes packed back-to-back from the start of a
+# dense-max-sized live region (section bases are device-computed from the
+# live totals):
+#   [0:4]      reserved header (always 0)
 #   [4:4+F]    per-frame counts, c1 | c2 << 4   (F = nb*210 frames)
 #   [.. +4*T*nb] band starts, (nb, T) i32 bytes
-#   [codes1 B1][lo1 B1][hi1 B1/4]  band-1 planes (B1 = budget slots)
-#   [codes2 B2][lo2 B2][hi2 B2/4]  rescue planes
-# 2-bit offset highs pack 4 compacted slots per byte. If a pair's live
-# slots exceed a budget the flag is set and the consumer falls back to
-# the dense combo pull (kept dispatchable) - correctness never depends on
-# the budgets. ~30% fewer D2H bytes at bench occupancy.
-COMPACT_BUDGET1 = 0.625    # fraction of dense band-1 slots provisioned
-COMPACT_BUDGET2 = 0.85     # fraction of dense rescue slots provisioned
+#   [live region, LIVE_MAX bytes; only the first total(t1, t2) occupied]:
+#     codes1[t1] @0 | lo1[t1] @t1a | hi1[t1/4] @2*t1a |
+#     codes2[t2] @2.25*t1a | lo2[t2] | hi2[t2/4]      (t?a = ceil128(t?))
+# 2-bit offset highs pack 4 compacted slots per byte. The consumer pulls
+# the fixed region first, recomputes (t1, t2) from the counts, then pulls
+# exactly the occupied live bytes - occupancy-exact transfers with NO
+# budget to overflow (an early round-4 budgeted variant double-paid a
+# dense fallback on ~half the bench pairs; this layout replaced it).
+_C2_DROP = np.int32(1 << 30)   # scatter index for dead slots (mode='drop')
 
 
-def _compact_budgets(nb):
-    b1 = -(-int(nb * 210 * TOP_K * COMPACT_BUDGET1) // 128) * 128
-    b2 = -(-int(nb * 105 * (TOP_K // 2) * COMPACT_BUDGET2) // 128) * 128
-    return b1, b2
+def _ceil_mult(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _compact2_maxes(nb, k2):
+    t1m = _ceil_mult(nb * 210 * TOP_K, 128)
+    t2m = _ceil_mult(nb * 105 * k2, 128)
+    live_max = 2 * t1m + t1m // 4 + 2 * t2m + t2m // 4
+    return t1m, t2m, live_max
+
+
+def _compact2_live(packed, k2):
+    """(nb, W) int16 transport rows -> (counts u8 (nb*210,), live u8
+    (LIVE_MAX,)): all live-prefix planes scattered back-to-back from byte
+    0 of the live region at bases computed on-device from the live totals
+    (the host twin is compact2_live_offsets)."""
+    nb = packed.shape[0]
+    k1 = TOP_K
+    row1 = _packed_row_words_py(k1)
+    row2 = _packed_row_words_py(k2)
+    by = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (nb, W, 2)
+    by = by.reshape(nb, -1)
+    band1 = by[:, :210 * row1 * 2].reshape(nb * 210, row1 * 2)
+    rescue = by[:, 210 * row1 * 2:210 * row1 * 2 + 105 * row2 * 2]
+    rescue = rescue.reshape(nb * 105, row2 * 2)
+    c1p, l1p, h1p = _unpack_rows_u8(band1, k1)
+    c2p, l2p, h2p = _unpack_rows_u8(rescue, k2)
+    t1m, t2m, live_max = _compact2_maxes(nb, k2)
+
+    def plane_pos(codes, k):
+        counts = jnp.sum((codes != 0).astype(jnp.int32), axis=1)
+        base = jnp.cumsum(counts) - counts                  # exclusive
+        total = base[-1] + counts[-1]
+        j = jnp.arange(k, dtype=jnp.int32)[None, :]
+        pos = jnp.where(j < counts[:, None], base[:, None] + j,
+                        _C2_DROP).ravel()
+        return counts, pos, total
+
+    cnt1, pos1, t1 = plane_pos(c1p, k1)
+    cnt2, pos2, t2 = plane_pos(c2p, k2)
+    t1a = ((t1 + 127) // 128) * 128
+    t2a = ((t2 + 127) // 128) * 128
+    o_l1 = t1a
+    o_h1 = 2 * t1a
+    o_c2 = 2 * t1a + t1a // 4
+    o_l2 = o_c2 + t2a
+    o_h2 = o_c2 + 2 * t2a
+
+    def hi_bytes(pos, hi2bit, tm):
+        # pack 2-bit highs by SLOT index (byte p//4, bit 2*(p%4)) into a
+        # max-size u32 plane; dead slots land at _C2_DROP >> 2 (dropped)
+        return jnp.zeros((tm // 4,), jnp.uint32).at[pos >> 2].add(
+            hi2bit.ravel().astype(jnp.uint32)
+            << (2 * (pos & 3)).astype(jnp.uint32),
+            mode='drop').astype(jnp.uint8)
+
+    hw1 = hi_bytes(pos1, h1p, t1m)
+    hw2 = hi_bytes(pos2, h2p, t2m)
+    out = jnp.zeros((live_max,), jnp.uint8)
+    out = out.at[pos1].set(c1p.ravel(), mode='drop')
+    out = out.at[o_l1 + pos1].set(l1p.ravel(), mode='drop')
+    out = out.at[o_c2 + pos2].set(c2p.ravel(), mode='drop')
+    out = out.at[o_l2 + pos2].set(l2p.ravel(), mode='drop')
+    # hi planes: scatter only the bytes inside their aligned sections
+    # (a full-plane dynamic_update_slice would clobber the next section
+    # with the dead-suffix zeros)
+    b1 = jnp.arange(t1m // 4, dtype=jnp.int32)
+    out = out.at[jnp.where(b1 < t1a // 4, o_h1 + b1, _C2_DROP)].set(
+        hw1, mode='drop')
+    b2 = jnp.arange(t2m // 4, dtype=jnp.int32)
+    out = out.at[jnp.where(b2 < t2a // 4, o_h2 + b2, _C2_DROP)].set(
+        hw2, mode='drop')
+
+    cnt1 = cnt1.reshape(nb, 210)
+    cnt2_full = jnp.zeros((nb, 210), jnp.int32).at[:, ::2].set(
+        cnt2.reshape(nb, 105))
+    counts = (cnt1 | (cnt2_full << 4)).astype(jnp.uint8).ravel()
+    return counts, out
 
 
 def _compact_planes(codes, lo, hi2, budget):
@@ -694,17 +771,18 @@ def _compact_sections(packed, k2, b1, b2):
 @jax.jit
 def concat_chunks_compact(chunks, starts_tracks):
     """Batch transport, compacted: one (L,) u8 buffer per pair (see the
-    layout above). Same candidate content as concat_chunks_with_starts
-    whenever the overflow flag is 0."""
+    layout above). Same candidate content as concat_chunks_with_starts;
+    the consumer pulls [0:fixed_end] then exactly the occupied live
+    bytes."""
     packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
     nb = packed.shape[0]
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
-    b1, b2 = _compact_budgets(nb)
-    sections = _compact_sections(packed, k2, b1, b2)
+    counts, live = _compact2_live(packed, k2)
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
         jnp.uint8).reshape(-1)                          # nb*T*4
-    return jnp.concatenate(sections[:2] + [st_u8] + sections[2:])
+    header = jnp.zeros((4,), jnp.uint8)
+    return jnp.concatenate([header, counts, st_u8, live])
 
 
 # Per-chunk budgets for the single-pair streamed path: one 256-block
@@ -754,22 +832,42 @@ def _packed_row_words_py(k):
 
 
 def compact_layout(nb, n_tracks):
-    """Byte offsets of the compact transport's sections for a pair of nb
-    blocks: dict with counts/starts/plane slices plus the budgets."""
-    b1, b2 = _compact_budgets(nb)
+    """Fixed-region byte offsets + live-region geometry of the pair-level
+    compact transport: counts/starts slices, the live region's start
+    ('live' == 'fixed_end'), its static max size, and the pull-size
+    quantization step (bounds the number of distinct eager slice programs
+    per shape bucket to <=17)."""
+    k2 = (n_tracks - 1) * (TOP_K // 2)
+    t1m, t2m, live_max = _compact2_maxes(nb, k2)
     off = {}
     p = 4
     off['counts'] = (p, p + nb * 210)
     p += nb * 210
     off['starts'] = (p, p + nb * n_tracks * 4)
     p += nb * n_tracks * 4
-    for name, b in (('codes1', b1), ('lo1', b1), ('hi1', b1 // 4),
-                    ('codes2', b2), ('lo2', b2), ('hi2', b2 // 4)):
-        off[name] = (p, p + b)
-        p += b
-    off['total'] = p
-    off['b1'], off['b2'] = b1, b2
+    off['live'] = off['fixed_end'] = p
+    off['live_max'] = live_max
+    off['total'] = p + live_max
+    off['step'] = _ceil_mult(live_max // 16, 128)
     return off
+
+
+def compact2_live_offsets(t1, t2):
+    """Host twin of _compact2_live's device section bases: byte ranges of
+    the six live planes RELATIVE to the live region start, for live
+    totals (t1, t2) recomputed from the counts section."""
+    t1a = _ceil_mult(t1, 128)
+    t2a = _ceil_mult(t2, 128)
+    base2 = 2 * t1a + t1a // 4
+    return {
+        'codes1': (0, t1),
+        'lo1': (t1a, t1a + t1),
+        'hi1': (2 * t1a, 2 * t1a + (t1 + 3) // 4),
+        'codes2': (base2, base2 + t2),
+        'lo2': (base2 + t2a, base2 + t2a + t2),
+        'hi2': (base2 + 2 * t2a, base2 + 2 * t2a + (t2 + 3) // 4),
+        'total': base2 + 2 * t2a + t2a // 4,
+    }
 
 
 def _match_pair_fused(feats_av, len_a, len_v):
@@ -820,17 +918,16 @@ def match_pair_combo(feats_av, len_a, len_v):
 @partial(jax.jit, static_argnames=())
 def match_pair_compact(feats_av, len_a, len_v):
     """ONE-dispatch batch transport, compacted (layout of compact_layout;
-    same candidate content as match_pair_combo when the overflow flag is
-    0 - the consumer re-dispatches the dense program on overflow)."""
+    byte-identical buffer to concat_chunks_compact on the chunked
+    dispatch path - CI-enforced)."""
     packed, starts_tracks = _match_pair_fused(feats_av, len_a, len_v)
-    nb = packed.shape[0]
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
-    b1, b2 = _compact_budgets(nb)
-    sections = _compact_sections(packed, k2, b1, b2)
+    counts, live = _compact2_live(packed, k2)
     st_u8 = jax.lax.bitcast_convert_type(
-        jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
+        jnp.transpose(starts_tracks[:, :packed.shape[0]]).astype(jnp.int32),
         jnp.uint8).reshape(-1)
-    return jnp.concatenate(sections[:2] + [st_u8] + sections[2:])
+    header = jnp.zeros((4,), jnp.uint8)
+    return jnp.concatenate([header, counts, st_u8, live])
 
 
 def match_stream(dev_a, len_a, dev_v, len_v):

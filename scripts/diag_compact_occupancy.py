@@ -1,8 +1,7 @@
 #!/usr/bin/env python
-"""Per-pair live-slot occupancy of the batch bench vs the compact-transport
-budgets (COMPACT_BUDGET1/2). A pair whose occupancy exceeds a budget takes
-the dense-fallback path (correct, but pays compact dispatch + a full dense
-pull), so the budgets should cover the bench population with headroom.
+"""Per-pair live-slot occupancy of the batch bench under the compact
+transport, and the realized D2H savings of its occupancy-exact pulls
+(fixed region + step-quantized live region) vs the dense combo buffer.
 Runs fine on the CPU backend (the fine pass twin is path-equivalent).
 
 Usage: [JAX_PLATFORMS=cpu] python scripts/diag_compact_occupancy.py
@@ -26,9 +25,7 @@ def main():
 
     pairs, lens, planted, kinds = build_batch_pairs()
     k1 = matching.TOP_K
-    print(f"budgets: band1 {matching.COMPACT_BUDGET1} rescue "
-          f"{matching.COMPACT_BUDGET2} of dense slots", flush=True)
-    worst1 = worst2 = 0.0
+    tot_pull = tot_dense = 0
     for i, ((v, a), (sv, sa), kind) in enumerate(zip(pairs, lens, kinds)):
         npad = max(api._bucket_pad(sv // 210), api._bucket_pad(sa // 210))
         fv, nv = api.host_features_padded(v, sv, npad)
@@ -38,28 +35,30 @@ def main():
         fav[1] = fv
         dev_av = jax.device_put(fav)
         chunks, starts_dev, _ = matching.match_stream_pair(dev_av, na, nv)
-        packed = np.ascontiguousarray(
-            np.concatenate([np.asarray(c) for c in chunks], axis=0))
-        nb = packed.shape[0]
+        nb = matching.nb_for(npad)
+        lay = matching.compact_layout(nb, starts_dev.shape[0])
+        buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev))
+        counts = buf[slice(*lay['counts'])]
+        t1 = int(np.sum(counts & 15, dtype=np.int64))
+        t2 = int(np.sum(counts >> 4, dtype=np.int64))
+        sec = matching.compact2_live_offsets(t1, t2)
+        q = min(lay['live_max'],
+                -(-sec['total'] // lay['step']) * lay['step'])
+        pull = lay['fixed_end'] + q
         k2 = (starts_dev.shape[0] - 1) * (k1 // 2)
-        row1 = matching._packed_row_words_py(k1)
-        row2 = matching._packed_row_words_py(k2)
-        by = packed.view(np.uint8).reshape(nb, -1)
-        band1 = by[:, :210 * row1 * 2].reshape(nb * 210, row1 * 2)
-        rescue = by[:, 210 * row1 * 2:210 * row1 * 2 + 105 * row2 * 2]
-        rescue = rescue.reshape(nb * 105, row2 * 2)
-        live1 = int(np.count_nonzero(band1[:, :k1]))
-        live2 = int(np.count_nonzero(rescue[:, :k2]))
-        occ1 = live1 / (nb * 210 * k1)
-        occ2 = live2 / (nb * 105 * k2)
-        b1, b2 = matching._compact_budgets(nb)
-        over = (live1 > b1) or (live2 > b2)
-        worst1 = max(worst1, occ1)
-        worst2 = max(worst2, occ2)
+        w = 210 * matching._packed_row_words_py(k1) \
+            + 105 * matching._packed_row_words_py(k2) \
+            + 2 * starts_dev.shape[0]
+        dense = nb * w * 2
+        occ1 = t1 / (nb * 210 * k1)
+        occ2 = t2 / (nb * 105 * k2)
+        tot_pull += pull
+        tot_dense += dense
         print(f"pair {i} ({kind:7s}): band1 occ {occ1:6.1%}  rescue occ "
-              f"{occ2:6.1%}  live ({live1}, {live2}) vs budgets "
-              f"({b1}, {b2}){'  << OVERFLOW' if over else ''}", flush=True)
-    print(f"worst: band1 {worst1:.1%}  rescue {worst2:.1%}")
+              f"{occ2:6.1%}  pull {pull / 1e6:5.2f} MB vs dense "
+              f"{dense / 1e6:5.2f} MB ({pull / dense:5.1%})", flush=True)
+    print(f"total: {tot_pull / 1e6:.2f} MB pulled vs {tot_dense / 1e6:.2f}"
+          f" MB dense ({tot_pull / tot_dense:.1%})")
 
 
 if __name__ == "__main__":

@@ -71,35 +71,29 @@ def main():
             from describealign_tpu.alignment import lis
             try:
                 t0, c0 = time.time(), time.process_time()
-                buf = np.asarray(compact_dev)
-                t0, c0 = ev('pull', i, t0, c0)
                 lay = matching.compact_layout(nb, starts_dev.shape[0])
+                fixed = np.asarray(compact_dev[:lay['fixed_end']])
+                t0, c0 = ev('pull_fixed', i, t0, c0)
+                counts = fixed[slice(*lay['counts'])]
                 st = np.ascontiguousarray(
-                    buf[slice(*lay['starts'])]).view(np.int32).reshape(
+                    fixed[slice(*lay['starts'])]).view(np.int32).reshape(
                         nb, -1)
                 sg = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
-                if buf[0]:
-                    # budget overflow: the production dense fallback
-                    combo = np.asarray(matching.concat_chunks_with_starts(
-                        chunks, starts_dev))
-                    t0, c0 = ev('pull_dense_fb', i, t0, c0)
-                    w_st = 2 * starts_dev.shape[0]
-                    starts = np.ascontiguousarray(
-                        combo[:, -w_st:]).view(np.int32).T
-                    y, x = api._consume_stream(iter([combo[:, :-w_st]]),
-                                               starts)
-                    t0, c0 = ev('lis', i, t0, c0)
-                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
-                                                   'native', True)
-                    ev('tail', i, t0, c0)
-                    return r
+                t1 = int(np.sum(counts & 15, dtype=np.int64))
+                t2 = int(np.sum(counts >> 4, dtype=np.int64))
+                sec = matching.compact2_live_offsets(t1, t2)
+                p0 = lay['live']
+                q = min(lay['live_max'],
+                        -(-sec['total'] // lay['step']) * lay['step'])
+                live = np.asarray(compact_dev[p0:p0 + q])
+                t0, c0 = ev('pull_live', i, t0, c0)
                 with lis.LisStream(int(sg.max()) + 32768) as ctx:
                     ctx.feed_compact(
-                        buf[slice(*lay['counts'])],
-                        buf[slice(*lay['codes1'])],
-                        buf[slice(*lay['lo1'])], buf[slice(*lay['hi1'])],
-                        buf[slice(*lay['codes2'])],
-                        buf[slice(*lay['lo2'])], buf[slice(*lay['hi2'])],
+                        counts,
+                        live[slice(*sec['codes1'])],
+                        live[slice(*sec['lo1'])], live[slice(*sec['hi1'])],
+                        live[slice(*sec['codes2'])],
+                        live[slice(*sec['lo2'])], live[slice(*sec['hi2'])],
                         sg, blk=210)
                     y, x = ctx.finish()
                 t0, c0 = ev('lis', i, t0, c0)

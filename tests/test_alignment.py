@@ -253,12 +253,16 @@ def test_align_batch_matches_single():
 
 def test_align_batch_compact_transport_matches(monkeypatch):
     """The compact batch transport (DESCRIBEALIGN_COMPACT=1: per-frame
-    counts + live-prefix slot planes, budget-sized) must reproduce the
-    dense transport's results exactly; with artificially tiny budgets the
-    overflow flag must route every pair through the dense fallback with
-    the same results."""
+    counts + contiguous live-prefix planes, occupancy-exact pulls) must
+    reproduce the dense transport's results exactly, and the host's
+    live-offset twin (compact2_live_offsets) must agree with the device
+    layout: codes planes carry no zero codes inside the live prefix and
+    the live region is all-zero beyond the computed total."""
+    import jax
     from describealign_tpu.alignment import matching
-    from describealign_tpu.alignment.api import align_batch_from_pcm
+    from describealign_tpu.alignment.api import (_bucket_pad,
+                                                 align_batch_from_pcm,
+                                                 host_features_padded)
 
     def to_i16(x):
         return np.clip(x, -32768, 32767).astype(np.int16)
@@ -278,22 +282,32 @@ def test_align_batch_compact_transport_matches(monkeypatch):
         np.testing.assert_array_equal(g[1], w[1])
         assert g[2] == w[2] and g[4] == w[4]
 
-    # force overflow: budgets far below any real occupancy (the budget
-    # constants are baked into the jitted transport traces - both the
-    # chunked and the fused one - so clear them around the patch)
-    monkeypatch.setattr(matching, 'COMPACT_BUDGET1', 0.01)
-    monkeypatch.setattr(matching, 'COMPACT_BUDGET2', 0.01)
-    matching.concat_chunks_compact.clear_cache()
-    matching.match_pair_compact.clear_cache()
-    try:
-        got2 = align_batch_from_pcm(pairs)
-    finally:
-        matching.concat_chunks_compact.clear_cache()
-        matching.match_pair_compact.clear_cache()
-    for g, w in zip(got2, want):
-        np.testing.assert_array_equal(g[0], w[0])
-        np.testing.assert_array_equal(g[1], w[1])
-        assert g[2] == w[2] and g[4] == w[4]
+    # layout invariants on the raw buffer of the first pair
+    video, audio = pairs[0]
+    sv, sa = video.shape[1], audio.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(video, sv, npad)
+    fa, na = host_features_padded(audio, sa, npad)
+    fav = np.empty((2, 5, npad), np.float16)
+    fav[0] = fa
+    fav[1] = fv
+    chunks, starts_dev, _ = matching.match_stream_pair(
+        jax.device_put(fav), na, nv)
+    buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev))
+    nb = matching.nb_for(npad)
+    lay = matching.compact_layout(nb, starts_dev.shape[0])
+    assert buf.shape[0] == lay['total']
+    counts = buf[slice(*lay['counts'])]
+    t1 = int(np.sum(counts & 15, dtype=np.int64))
+    t2 = int(np.sum(counts >> 4, dtype=np.int64))
+    assert 0 < t1 <= nb * 210 * matching.TOP_K
+    sec = matching.compact2_live_offsets(t1, t2)
+    live = buf[lay['live']:]
+    a, b = sec['codes1']
+    assert np.all(live[a:b] != 0)           # live slots never code 0
+    a, b = sec['codes2']
+    assert np.all(live[a:b] != 0)
+    assert not np.any(live[sec['total']:])  # nothing past the live total
 
 
 def test_fused_batch_transport_matches_chunked():
