@@ -37,7 +37,9 @@ def main():
     wall0 = [0.0]
 
     def ev(tag, i, t0, c0):
-        t1, c1 = time.time(), time.process_time()
+        # thread_time: per-THREAD CPU so concurrent workers don't
+        # contaminate each other's stage attribution
+        t1, c1 = time.time(), time.thread_time()
         with ev_mu:
             events.append((t0 - wall0[0], t1 - wall0[0], c1 - c0, tag, i))
         return t1, c1
@@ -51,7 +53,7 @@ def main():
 
         def consume(combo_dev, w_st, fa, fv, na, nv, i):
             try:
-                t0, c0 = time.time(), time.process_time()
+                t0, c0 = time.time(), time.thread_time()
                 buf = np.asarray(combo_dev)
                 t0, c0 = ev('pull', i, t0, c0)
                 starts = np.ascontiguousarray(
@@ -70,7 +72,7 @@ def main():
                             fa, fv, na, nv, i):
             from describealign_tpu.alignment import lis
             try:
-                t0, c0 = time.time(), time.process_time()
+                t0, c0 = time.time(), time.thread_time()
                 lay = matching.compact_layout(nb, starts_dev.shape[0])
                 fixed = np.asarray(compact_dev[:lay['fixed_end']])
                 t0, c0 = ev('pull_fixed', i, t0, c0)
@@ -112,7 +114,7 @@ def main():
             for i in range(b):
                 v, a = pairs[i]
                 sv, sa = lens[i]
-                t0, c0 = time.time(), time.process_time()
+                t0, c0 = time.time(), time.thread_time()
                 in_flight.acquire()
                 t0, c0 = ev('acquire', i, t0, c0)
                 npad = max(api._bucket_pad(sv // 210),
