@@ -254,9 +254,11 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
         sv, sa = true_samples[i]
         if host_path:
             npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
-            fv, nv = host_features_padded(v, sv, npad)
+            with _host_token():
+                fv, nv = host_features_padded(v, sv, npad)
             dev_v = jax.device_put(fv.astype(np.float16))
-            fa, na = host_features_padded(a, sa, npad)
+            with _host_token():
+                fa, na = host_features_padded(a, sa, npad)
             dev_a = jax.device_put(fa.astype(np.float16))
             out = matching.match_from_features(dev_a, na, dev_v, nv)
             return (i, out + (fa, fv))
@@ -275,8 +277,9 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
         feats_a = np.asarray(out[3])
         feats_v = np.asarray(out[4])
         sv, sa = true_samples[i]
-        return _host_stages(quals, offs, starts, feats_a, feats_v,
-                            sa // 210, sv // 210, fit_backend, True)
+        with _host_token():
+            return _host_stages(quals, offs, starts, feats_a, feats_v,
+                                sa // 210, sv // 210, fit_backend, True)
 
     in_flight = deque(dispatch(i) for i in range(min(device_depth, b)))
     next_i = len(in_flight)
@@ -325,9 +328,10 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
         # leading-columns VIEW: the strided native feed reads the
         # packed rows in place (no second media-scale copy)
         packed = buf[:, :-w_st]
-        y, x = _consume_stream(iter([packed]), starts_tracks)
-        return _host_stages_from_path(y, x, fa, fv, na, nv,
-                                      fit_backend, True)
+        with _host_token():
+            y, x = _consume_stream(iter([packed]), starts_tracks)
+            return _host_stages_from_path(y, x, fa, fv, na, nv,
+                                          fit_backend, True)
 
     def consume(combo_dev, w_st, fa, fv, na, nv):
         try:
@@ -368,17 +372,18 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
             q = min(lay['live_max'],
                     -(-sec['total'] // lay['step']) * lay['step'])
             live = np.asarray(compact_dev[p0:p0 + q])
-            with ctx:
-                ctx.feed_compact(
-                    counts,
-                    live[slice(*sec['codes1'])], live[slice(*sec['lo1'])],
-                    live[slice(*sec['hi1'])],
-                    live[slice(*sec['codes2'])], live[slice(*sec['lo2'])],
-                    live[slice(*sec['hi2'])],
-                    starts_grouped, blk=210)
-                y, x = ctx.finish()
-            return _host_stages_from_path(y, x, fa, fv, na, nv,
-                                          fit_backend, True)
+            with _host_token():
+                with ctx:
+                    ctx.feed_compact(
+                        counts,
+                        live[slice(*sec['codes1'])], live[slice(*sec['lo1'])],
+                        live[slice(*sec['hi1'])],
+                        live[slice(*sec['codes2'])], live[slice(*sec['lo2'])],
+                        live[slice(*sec['hi2'])],
+                        starts_grouped, blk=210)
+                    y, x = ctx.finish()
+                return _host_stages_from_path(y, x, fa, fv, na, nv,
+                                              fit_backend, True)
         finally:
             in_flight.release()
 
@@ -390,14 +395,15 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
             in_flight.acquire()
             try:
                 npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
-                fv, nv = host_features_padded(v, sv, npad)
-                fa, na = host_features_padded(a, sa, npad)
-                # one combined H2D per pair ([0]=audio, [1]=video): each
-                # device_put pays a ~26 ms tunnel round trip plus a
-                # serialization pass before any bytes move
-                fav = np.empty((2, 5, npad), np.float16)
-                fav[0] = fa
-                fav[1] = fv
+                with _host_token():
+                    fv, nv = host_features_padded(v, sv, npad)
+                    fa, na = host_features_padded(a, sa, npad)
+                    # one combined H2D per pair ([0]=audio, [1]=video):
+                    # each device_put pays a ~26 ms tunnel round trip plus
+                    # a serialization pass before any bytes move
+                    fav = np.empty((2, 5, npad), np.float16)
+                    fav[0] = fa
+                    fav[1] = fv
                 dev_av = jax.device_put(fav)
                 nb = matching.nb_for(npad)
                 if use_fused and matching.N_TRACKS == 2:
@@ -672,6 +678,33 @@ def _pull_threads():
     # a tunneled link) across chunks; bandwidth is shared so 2 is the sweet
     # spot (measured: >3 threads just queue on the link)
     return int(os.environ.get('DESCRIBEALIGN_PULL_THREADS', '2'))
+
+
+_host_token_sem = None
+
+
+def _host_token():
+    """Semaphore bounding CONCURRENT heavy native sections in batch mode
+    to the physical core count (DESCRIBEALIGN_HOST_TOKENS overrides).
+
+    The batch path's CPU-heavy sections (feature extraction, the LIS
+    feed, the refinement tail) all release the GIL, so worker threads
+    genuinely timeslice on the core(s). Their working sets are multi-MB,
+    so each preemption refills the cache: per-thread CPU measured ~15-25%
+    higher when two native sections interleave on one core than solo
+    (scripts/profile_batch.py vs profile_tail.py). Holding a token for
+    the duration of a section keeps at most n_cores of them in flight;
+    link pulls and device dispatches stay OUTSIDE the token so transfers
+    still overlap compute.
+    """
+    global _host_token_sem
+    if _host_token_sem is None:
+        import threading
+        n = int(os.environ.get('DESCRIBEALIGN_HOST_TOKENS', '0') or '0')
+        if n <= 0:
+            n = os.cpu_count() or 1
+        _host_token_sem = threading.BoundedSemaphore(n)
+    return _host_token_sem
 
 
 def _use_compact():

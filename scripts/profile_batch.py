@@ -59,10 +59,12 @@ def main():
                 starts = np.ascontiguousarray(
                     buf[:, -w_st:]).view(np.int32).T
                 packed = buf[:, :-w_st]          # strided in-place feed
-                y, x = api._consume_stream(iter([packed]), starts)
-                t0, c0 = ev('lis', i, t0, c0)
-                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
-                                               'native', True)
+                with api._host_token():
+                    t0, c0 = ev('token', i, t0, c0)
+                    y, x = api._consume_stream(iter([packed]), starts)
+                    t0, c0 = ev('lis', i, t0, c0)
+                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                                   'native', True)
                 ev('tail', i, t0, c0)
                 return r
             finally:
@@ -89,18 +91,22 @@ def main():
                         -(-sec['total'] // lay['step']) * lay['step'])
                 live = np.asarray(compact_dev[p0:p0 + q])
                 t0, c0 = ev('pull_live', i, t0, c0)
-                with lis.LisStream(int(sg.max()) + 32768) as ctx:
-                    ctx.feed_compact(
-                        counts,
-                        live[slice(*sec['codes1'])],
-                        live[slice(*sec['lo1'])], live[slice(*sec['hi1'])],
-                        live[slice(*sec['codes2'])],
-                        live[slice(*sec['lo2'])], live[slice(*sec['hi2'])],
-                        sg, blk=210)
-                    y, x = ctx.finish()
-                t0, c0 = ev('lis', i, t0, c0)
-                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
-                                               'native', True)
+                with api._host_token():
+                    t0, c0 = ev('token', i, t0, c0)
+                    with lis.LisStream(int(sg.max()) + 32768) as ctx:
+                        ctx.feed_compact(
+                            counts,
+                            live[slice(*sec['codes1'])],
+                            live[slice(*sec['lo1'])],
+                            live[slice(*sec['hi1'])],
+                            live[slice(*sec['codes2'])],
+                            live[slice(*sec['lo2'])],
+                            live[slice(*sec['hi2'])],
+                            sg, blk=210)
+                        y, x = ctx.finish()
+                    t0, c0 = ev('lis', i, t0, c0)
+                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                                   'native', True)
                 ev('tail', i, t0, c0)
                 return r
             finally:
@@ -119,13 +125,15 @@ def main():
                 t0, c0 = ev('acquire', i, t0, c0)
                 npad = max(api._bucket_pad(sv // 210),
                            api._bucket_pad(sa // 210))
-                fv, nv = api.host_features_padded(v, sv, npad)
-                t0, c0 = ev('feat_v', i, t0, c0)
-                fa, na = api.host_features_padded(a, sa, npad)
-                t0, c0 = ev('feat_a', i, t0, c0)
-                fav = np.empty((2, 5, npad), np.float16)
-                fav[0] = fa
-                fav[1] = fv
+                with api._host_token():
+                    t0, c0 = ev('token_m', i, t0, c0)
+                    fv, nv = api.host_features_padded(v, sv, npad)
+                    t0, c0 = ev('feat_v', i, t0, c0)
+                    fa, na = api.host_features_padded(a, sa, npad)
+                    t0, c0 = ev('feat_a', i, t0, c0)
+                    fav = np.empty((2, 5, npad), np.float16)
+                    fav[0] = fa
+                    fav[1] = fv
                 dev_av = jax.device_put(fav)
                 t0, c0 = ev('h2d', i, t0, c0)
                 chunks, starts_dev, _ = matching.match_stream_pair(
