@@ -852,12 +852,43 @@ def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
 
 def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
                            fit_backend, quiet=False):
+    if os.environ.get('DESCRIBEALIGN_TAIL_DEBUG'):
+        return _host_stages_from_path_timed(y, x, feats_a_np, feats_v_np,
+                                            na, nv, fit_backend, quiet)
+    return _host_stages_from_path_inner(y, x, feats_a_np, feats_v_np,
+                                        na, nv, fit_backend, quiet)
+
+
+def _host_stages_from_path_timed(y, x, feats_a_np, feats_v_np, na, nv,
+                                 fit_backend, quiet=False):
+    """Dev-only (DESCRIBEALIGN_TAIL_DEBUG=1): per-stage wall+thread-CPU
+    prints for each tail invocation, for profiling the batch path."""
+    import time
+
+    marks = [('start', time.time(), time.thread_time())]
+
+    def mark(tag):
+        marks.append((tag, time.time(), time.thread_time()))
+
+    r = _host_stages_from_path_inner(y, x, feats_a_np, feats_v_np, na, nv,
+                                     fit_backend, quiet, mark)
+    parts = " ".join(
+        f"{tag}={1e3 * (t1 - t0):.0f}/{1e3 * (c1 - c0):.0f}ms"
+        for (tag, t1, c1), (_, t0, c0) in zip(marks[1:], marks[:-1]))
+    print(f"[tail-debug] len={len(x)} {parts}", flush=True)
+    return r
+
+
+def _host_stages_from_path_inner(y, x, feats_a_np, feats_v_np, na, nv,
+                                 fit_backend, quiet=False, mark=None):
     _fail_if_short(len(x), nv, na)
 
     if not quiet:
         print("  refining match: pass 1 of 2...\r", end='')
     x, y = continuity.continuity_filter(
         np.asarray(x, np.float64), np.asarray(y, np.float64))
+    if mark:
+        mark('cont')
 
     # least-squares gain match of video features to the audio's scale
     # (reference 733-741); the (N,1) lstsq reduces to a ratio of dots.
@@ -883,21 +914,35 @@ def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
             audio_scaled[:, j] = af / af_std
             video_scaled[:, j] = vf * (scale / af_std)
 
+    if mark:
+        mark('rescale')
     cx, cy = continuity.compress_path(x, y)
+    if mark:
+        mark('compress')
     fit_result = fit.solve_l1_fit(cx, cy, backend=fit_backend)
+    if mark:
+        mark('fit')
     smooth_path = list(zip(cx, fit_result['smooth_y']))
 
     if not quiet:
         print("  refining match: pass 2 of 2...\r", end='')
     clusters = refine.build_line_clusters(smooth_path, fit_result['slopes'])
+    if mark:
+        mark('clusters')
     pj, pc, pq, offsets = refine.build_points_flat(clusters, audio_scaled,
                                                    video_scaled)
+    if mark:
+        mark('p2score')
     path = refine_dp_flat(pj, pc, pq, offsets, len(clusters),
                           len(video_scaled))
+    if mark:
+        mark('p2dp')
     _fail_if_short(len(path), nv, na)
 
     audio_times, video_times, similarity_percent, path_s = \
         outputs.similarity_and_nodes(path, len(audio_scaled),
                                      len(video_scaled), na, nv)
+    if mark:
+        mark('outputs')
     return (audio_times, video_times, similarity_percent, path_s,
             fit_result['median_slope'])

@@ -50,6 +50,31 @@ JUMP_DETECT_FRAMES = 10.0   # interval position residual that marks a jump
 
 
 def l1_refine_segment_slopes(x, y, seg_id, slopes, iters=25):
+    """Re-estimate each fused slope-segment by POSITION-anchored L1 fit
+    (dispatches to the native twin; see _l1_refine_segment_slopes_py for
+    the algorithm and dp.cpp::refine_segment_slopes for the numerics
+    note - medians are numpy-exact, weighted sums sequential-f64)."""
+    from .native import native_lib
+    lib = native_lib()
+    if lib is not None and hasattr(lib, 'refine_segment_slopes'):
+        import ctypes
+        x = np.ascontiguousarray(x, np.float64)
+        y = np.ascontiguousarray(y, np.float64)
+        seg = np.ascontiguousarray(seg_id, np.int64)
+        out = np.ascontiguousarray(slopes, np.float64).copy()
+        rc = lib.refine_segment_slopes(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_longlong(len(x)),
+            seg.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_longlong(iters), ctypes.c_double(JUMP_DETECT_FRAMES))
+        if rc == 0:
+            return out
+    return _l1_refine_segment_slopes_py(x, y, seg_id, slopes, iters)
+
+
+def _l1_refine_segment_slopes_py(x, y, seg_id, slopes, iters=25):
     """Re-estimate each fused slope-segment by POSITION-anchored L1 fit.
 
     The fused-lasso stage models slope error with a per-interval linear

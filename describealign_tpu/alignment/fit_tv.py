@@ -148,7 +148,13 @@ def fused_lasso_l1(b, data_cost, kappa, delta):
     theta = _tv(b, np.asarray(data_cost, float) / delta, kappa)
     for _ in range(IRLS_ITERS):
         w = data_cost / np.maximum(np.abs(b - theta), delta)
+        prev = theta
         theta = _tv(b, w, kappa)
+        # exact fixed point: w (hence every later iterate) would repeat
+        # bit-for-bit, so stopping here returns the identical vector the
+        # full IRLS_ITERS loop would
+        if np.array_equal(theta, prev):
+            break
     return theta
 
 

@@ -11,6 +11,7 @@
 // Both use ordered std::map/std::multimap keyed by video position; every
 // candidate inserts once and is erased at most once => O(n log n).
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <cstring>
@@ -851,6 +852,108 @@ int tv1d_weighted(const double* r, const double* w, const double* kappa,
   for (int64_t k = n - 2; k >= 0; --k) {
     th = std::min(std::max(th, clip_lo[k]), clip_hi[k]);
     theta[k] = th;
+  }
+  return 0;
+}
+
+// --------------------------------------------------------------------------
+// per-segment position-anchored L1 slope refinement
+// --------------------------------------------------------------------------
+// Native twin of fit.l1_refine_segment_slopes (see its docstring for the
+// model): within each fused slope-segment, split the nodes into runs at
+// jump-like intervals, then IRLS-fit one common slope with free per-run L1
+// intercepts (medians). The Python version pays thousands of small-array
+// numpy calls when segments are many (the ~50%-similarity regime produces
+// 70+ clusters); this is the same arithmetic in one pass. Medians match
+// numpy exactly (partition + mean of the two mid elements); the weighted
+// reductions are sequential f64 where numpy sums pairwise, so results can
+// differ at ~1e-15 relative - far below the 1e-8 IRLS convergence tol and
+// the ~1e-4 slope agreement the fit targets (tests/test_fit_stress.py).
+//
+// x, y: node coordinates (n); seg_id: per-interval segment index (n-1,
+// non-decreasing); slopes: per-interval values, refined IN PLACE;
+// jump_detect: interval position residual marking a run split (frames).
+static double median_inplace(double* buf, int64_t m) {
+  double* mid = buf + m / 2;
+  std::nth_element(buf, mid, buf + m);
+  if (m % 2) return *mid;
+  const double lo = *std::max_element(buf, mid);
+  return (lo + *mid) / 2.0;
+}
+
+int refine_segment_slopes(const double* x, const double* y,
+                          int64_t n, const int64_t* seg_id,
+                          double* slopes, int64_t iters,
+                          double jump_detect) {
+  if (n < 2) return 0;
+  std::vector<int64_t> run_start, run_len;   // node-index runs (segment-local)
+  std::vector<double> a, scratch;
+  for (int64_t lo = 0; lo < n - 1;) {
+    int64_t hi = lo + 1;
+    while (hi < n - 1 && seg_id[hi] == seg_id[lo]) ++hi;
+    const int64_t n_nodes = hi - lo + 1;
+    if (n_nodes < 8) { lo = hi; continue; }
+    double s = slopes[lo];
+    // split nodes lo..hi (inclusive) into runs at jump-like intervals
+    run_start.clear(); run_len.clear();
+    int64_t cur_start = lo, max_len = 0;
+    for (int64_t t = lo; t < hi; ++t) {
+      const double xd = x[t + 1] - x[t];
+      const double resid = std::abs((y[t + 1] - y[t]) / xd - s) * xd;
+      if (resid > jump_detect) {
+        const int64_t len = t + 1 - cur_start;
+        if (len >= 2) { run_start.push_back(cur_start); run_len.push_back(len);
+                        max_len = std::max(max_len, len); }
+        cur_start = t + 1;
+      }
+    }
+    {
+      const int64_t len = hi + 1 - cur_start;
+      if (len >= 2) { run_start.push_back(cur_start); run_len.push_back(len);
+                      max_len = std::max(max_len, len); }
+    }
+    if (run_start.empty() || max_len < 4) { lo = hi; continue; }
+    const size_t nruns = run_start.size();
+    a.resize(nruns);
+    scratch.resize(static_cast<size_t>(max_len));
+    for (size_t j = 0; j < nruns; ++j) {
+      const int64_t st = run_start[j], m = run_len[j];
+      for (int64_t t = 0; t < m; ++t)
+        scratch[t] = y[st + t] - s * x[st + t];
+      a[j] = median_inplace(scratch.data(), m);
+    }
+    double s_prev = s;
+    for (int64_t it = 0; it < iters; ++it) {
+      double num = 0.0, den = 0.0;
+      for (size_t j = 0; j < nruns; ++j) {
+        const int64_t st = run_start[j], m = run_len[j];
+        double sw = 0.0, sx = 0.0, sy = 0.0;
+        for (int64_t t = 0; t < m; ++t) {
+          const double res = y[st + t] - a[j] - s * x[st + t];
+          const double w = 1.0 / std::max(std::abs(res), 1e-3);
+          scratch[t] = w;
+          sw += w; sx += w * x[st + t]; sy += w * y[st + t];
+        }
+        const double xw = sx / sw, yw = sy / sw;
+        for (int64_t t = 0; t < m; ++t) {
+          const double dx = x[st + t] - xw;
+          num += scratch[t] * dx * (y[st + t] - yw);
+          den += scratch[t] * dx * dx;
+        }
+      }
+      if (den <= 0) break;
+      s = num / den;
+      for (size_t j = 0; j < nruns; ++j) {
+        const int64_t st = run_start[j], m = run_len[j];
+        for (int64_t t = 0; t < m; ++t)
+          scratch[t] = y[st + t] - s * x[st + t];
+        a[j] = median_inplace(scratch.data(), m);
+      }
+      if (std::abs(s - s_prev) < 1e-8) break;
+      s_prev = s;
+    }
+    for (int64_t t = lo; t < hi; ++t) slopes[t] = s;
+    lo = hi;
   }
   return 0;
 }

@@ -60,6 +60,34 @@ def _use_batch(n_work):
     return n_work > 1 and os.environ.get('DESCRIBEALIGN_BATCH', '1') != '0'
 
 
+def _auto_mesh():
+    """Mesh for directory batches: all attached accelerator chips.
+
+    Multi-chip hosts get data-parallel matching without flags (one pair
+    per chip, pure DP over ICI - api._align_batch_sharded); single-chip
+    and CPU hosts keep the pipelined single-device path (virtual CPU
+    devices share the same host cores, so a mesh only adds overhead
+    there). DESCRIBEALIGN_MESH=0 opts out, =N caps the device count,
+    =force[N] builds the (optionally N-capped) mesh even on a CPU
+    backend (virtual-device testing)."""
+    opt = os.environ.get('DESCRIBEALIGN_MESH', '')
+    if opt == '0':
+        return None
+    import jax
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    force = opt.startswith('force')
+    if devs[0].platform == 'cpu' and not force:
+        return None
+    cap = ''.join(ch for ch in opt if ch.isdigit())
+    n = min(len(devs), int(cap)) if cap else len(devs)
+    if n <= 1:
+        return None
+    from .parallel.batch import make_mesh
+    return make_mesh(n)
+
+
 class _BatchAligner:
     """Background decode + batch-align engine for directory mode.
 
@@ -96,6 +124,7 @@ class _BatchAligner:
         from .alignment.api import align_batch_from_pcm
         from .media.decode import parse_audio_int16
         try:
+            mesh = _auto_mesh()
             for g0 in range(0, len(self._items), self._group):
                 if self._stop.is_set():
                     return
@@ -107,7 +136,8 @@ class _BatchAligner:
                     a = parse_audio_int16(af, self._nch)
                     pcm.append((v, a))
                     lens.append((v.shape[1], a.shape[1]))
-                results = align_batch_from_pcm(pcm, true_samples=lens)
+                results = align_batch_from_pcm(pcm, true_samples=lens,
+                                               mesh=mesh)
                 for (idx, _, _), res, vap, ln in zip(group, results, pcm,
                                                      lens):
                     payload = (vap + ln) if self._keep_pcm else None

@@ -307,3 +307,48 @@ def test_combine_batched_skip_and_cache_interleave(wav_three_pair_dirs,
     assert seen == {"batch_pairs": 0, "single": 1}
     for idx in (1, 2, 3):
         assert os.path.exists(tmp_path / "out2" / f"ad_show_ep{idx}.wav")
+
+
+def test_combine_directory_mesh_matches_batched(wav_three_pair_dirs,
+                                                tmp_path, monkeypatch):
+    """DESCRIBEALIGN_MESH routes directory batches through the
+    mesh-sharded matcher (api._align_batch_sharded, one pair per device
+    over the virtual CPU mesh) with byte-identical reports vs the
+    single-device batch path - the product wiring for multi-chip hosts."""
+    import describealign_tpu as da
+    import describealign_tpu.alignment.api as api_mod
+    vids, auds = wav_three_pair_dirs
+
+    calls = {"sharded": 0}
+    real_sharded = api_mod._align_batch_sharded
+
+    def spy_sharded(pairs, *a, **k):
+        calls["sharded"] += len(pairs)
+        return real_sharded(pairs, *a, **k)
+
+    monkeypatch.setattr(api_mod, '_align_batch_sharded', spy_sharded)
+
+    da.combine(vids, auds, stretch_audio=True, yes=True,
+               output_dir=str(tmp_path / "out_bat"),
+               alignment_dir=str(tmp_path / "plots_bat"))
+    assert calls["sharded"] == 0
+
+    # force2: CPU backends are excluded from auto-mesh (virtual devices
+    # share the host cores), so the test opts in with a 2-device cap to
+    # bound compile time
+    monkeypatch.setenv('DESCRIBEALIGN_MESH', 'force2')
+    da.combine(vids, auds, stretch_audio=True, yes=True,
+               output_dir=str(tmp_path / "out_mesh"),
+               alignment_dir=str(tmp_path / "plots_mesh"))
+    assert calls["sharded"] == 3
+
+    for idx in (1, 2, 3):
+        bat = open(tmp_path / "plots_bat" / f"show_ep{idx}.txt").read()
+        mesh = open(tmp_path / "plots_mesh" / f"show_ep{idx}.txt").read()
+        assert (mesh.replace("out_mesh", "out_bat")
+                == bat), f"report mismatch for pair {idx}"
+        out_bat = parse_audio_from_file(
+            str(tmp_path / "out_bat" / f"ad_show_ep{idx}.wav"), 2)
+        out_mesh = parse_audio_from_file(
+            str(tmp_path / "out_mesh" / f"ad_show_ep{idx}.wav"), 2)
+        assert np.array_equal(out_bat, out_mesh)
