@@ -230,7 +230,7 @@ def main():
     with redirect_stdout(quiet):
         align_batch_from_pcm(pairs, true_samples=lens)
     batch_wall = float('inf')
-    for _ in range(3):        # best of 3: link bandwidth drifts run to run
+    for _ in range(5):        # best of 5: link bandwidth drifts run to run
         t = time.time()
         with redirect_stdout(quiet):
             results = align_batch_from_pcm(pairs, true_samples=lens)

@@ -61,6 +61,7 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     arrays carry zero-padding (bucketed extraction); default = array length.
     """
     fit_backend = _default_backend(fit_backend)
+    _malloc_tune()
     na = min(len(f) for f in audio_desc_features)
     nv = min(len(f) for f in video_features)
     if audio_frames is not None:
@@ -147,6 +148,7 @@ def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
     Set DESCRIBEALIGN_PROFILE_DIR to capture a JAX/xprof device trace of the
     fused program (viewable with xprof/tensorboard).
     """
+    _malloc_tune()
     profile_dir = os.environ.get('DESCRIBEALIGN_PROFILE_DIR')
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -232,6 +234,7 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
     from concurrent.futures import ThreadPoolExecutor
 
     fit_backend = _default_backend(fit_backend)
+    _malloc_tune()
     host_path = _feature_path() == 'host'
     b = len(pairs)
     if host_workers is None:
@@ -705,6 +708,39 @@ def _host_token():
             n = os.cpu_count() or 1
         _host_token_sem = threading.BoundedSemaphore(n)
     return _host_token_sem
+
+
+_malloc_tuned = False
+
+
+def _malloc_tune():
+    """One-time glibc allocator tuning for the media-scale host stages.
+
+    The host tail allocates tens of MB of numpy temporaries per pair
+    (concatenated pass-2 planes, sort keys, pulled candidate buffers) -
+    all far above glibc's default 128 KB M_MMAP_THRESHOLD, so by default
+    every one is a fresh mmap, faulted in page by page and munmapped on
+    free. Measured on the bench host (scripts note in PERF.md): a cold
+    refinement tail pays ~3x its warm CPU in page-fault/zeroing kernel
+    time, and concurrent batch threads serialize on mmap_lock (the
+    ~50%-similarity pair's tail was observed at 0.27-0.81 s CPU run to
+    run for identical input). Raising the mmap/trim thresholds keeps
+    those buffers on reusable arena heap: tail 0.59 -> 0.21 s cold,
+    0.19 -> 0.15 s steady, and the run-to-run variance collapses. Costs
+    retained heap (bounded by per-thread working set, ~100-200 MB);
+    DESCRIBEALIGN_MALLOC_TUNE=0 opts out."""
+    global _malloc_tuned
+    if _malloc_tuned or os.environ.get('DESCRIBEALIGN_MALLOC_TUNE') == '0':
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None)
+        m_mmap_threshold, m_trim_threshold = -3, -1
+        libc.mallopt(m_mmap_threshold, 256 << 20)
+        libc.mallopt(m_trim_threshold, 256 << 20)
+    except Exception:
+        pass    # non-glibc platforms: default allocator behavior
 
 
 def _use_compact():
