@@ -204,7 +204,7 @@ def main():
     quiet = io.StringIO()
     # warmup (compiles; cached persistently across runs)
     with redirect_stdout(quiet):
-        x, y, sim, path, m = run_once(video, audio, sv, sa)
+        x, y, sim, path, m = run_once(video, audio, sv, sa)[:5]
     start_offset = float(x[0] - y[0])
 
     # timed warm runs (min of 5: the tunneled link's throughput varies run

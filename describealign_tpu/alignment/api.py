@@ -78,11 +78,15 @@ def align(video_features, audio_desc_features, video_energy, audio_desc_energy,
     # f16 upload (half the H2D bytes); host stages keep the f32 stacks
     dev_a = jax.device_put(feats_a_np.astype(np.float16))
     dev_v = jax.device_put(feats_v_np.astype(np.float16))
-    quals, offs, starts = matching.match_from_features(dev_a, na,
-                                                       dev_v, nv)
-    return _host_stages(np.asarray(quals), np.asarray(offs),
-                        np.asarray(starts), feats_a_np, feats_v_np, na, nv,
-                        fit_backend)
+    quals, offs, starts, margin = matching.match_from_features(dev_a, na,
+                                                               dev_v, nv)
+    result = _host_stages(np.asarray(quals), np.asarray(offs),
+                          np.asarray(starts), feats_a_np, feats_v_np, na, nv,
+                          fit_backend, margin=float(np.asarray(margin)))
+    # the public module API keeps the reference's 5-tuple contract; the
+    # low-confidence guard surfaces through the WARNING line protocol
+    warn_low_confidence(result[5])
+    return result[:5]
 
 
 def _pad_pcm_i16(pcm_i16):
@@ -145,6 +149,9 @@ def align_from_pcm(video_pcm_i16, audio_pcm_i16, fit_backend=None,
     combine_prints=True emits the reference combine()'s per-stage progress
     lines (describealign.py:1100-1113) around the feature stages in addition
     to align()'s own lines - used by the sequential pipeline loop.
+    Returns align()'s 5-tuple plus the coarse-confidence margin (see
+    matching._coarse_tracks; None only on legacy caches) - callers surface
+    the low-confidence WARNING via warn_low_confidence(result[5]).
     Set DESCRIBEALIGN_PROFILE_DIR to capture a JAX/xprof device trace of the
     fused program (viewable with xprof/tensorboard).
     """
@@ -187,14 +194,16 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
             print("  memorizing video...        \r", end='')
         print("  matching audio...  \r", end='')
         if _use_streaming():
-            y, x = _streamed_lis(dev_a, na, dev_v, nv)
+            y, x, margin = _streamed_lis(dev_a, na, dev_v, nv)
             return _host_stages_from_path(y, x, feats_a_np, feats_v_np,
-                                          na, nv, fit_backend)
-        quals, offs, starts = matching.match_from_features(dev_a, na,
-                                                           dev_v, nv)
+                                          na, nv, fit_backend,
+                                          margin=margin)
+        quals, offs, starts, margin = matching.match_from_features(
+            dev_a, na, dev_v, nv)
         return _host_stages(np.asarray(quals), np.asarray(offs),
                             np.asarray(starts), feats_a_np, feats_v_np,
-                            na, nv, fit_backend)
+                            na, nv, fit_backend,
+                            margin=float(np.asarray(margin)))
 
     na = (audio_samples or audio_pcm_i16.shape[1]) // 210
     nv = (video_samples or video_pcm_i16.shape[1]) // 210
@@ -203,13 +212,13 @@ def _align_from_pcm_impl(video_pcm_i16, audio_pcm_i16, fit_backend=None,
     dev_a = jax.device_put(_pad_pcm_i16(audio_pcm_i16))
     dev_v = jax.device_put(_pad_pcm_i16(video_pcm_i16))
     print("  matching audio...  \r", end='')
-    quals, offs, starts, feats_a, feats_v = matching.extract_and_match(
-        dev_a, na, dev_v, nv)
+    quals, offs, starts, feats_a, feats_v, margin = \
+        matching.extract_and_match(dev_a, na, dev_v, nv)
     feats_a_np = np.asarray(feats_a)
     feats_v_np = np.asarray(feats_v)
     return _host_stages(np.asarray(quals), np.asarray(offs),
                         np.asarray(starts), feats_a_np, feats_v_np, na, nv,
-                        fit_backend)
+                        fit_backend, margin=float(np.asarray(margin)))
 
 
 def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
@@ -228,7 +237,8 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
     data-parallel across its devices (shard_map over the first axis, pure
     DP over ICI) in mesh-sized groups; host refinement stays per-pair.
 
-    Returns a list of align() result tuples, one per pair.
+    Returns a list of align() result tuples with the coarse-confidence
+    margin appended (align_from_pcm's 6-tuple), one per pair.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -263,12 +273,14 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
             with _host_token():
                 fa, na = host_features_padded(a, sa, npad)
             dev_a = jax.device_put(fa.astype(np.float16))
-            out = matching.match_from_features(dev_a, na, dev_v, nv)
-            return (i, out + (fa, fv))
+            quals, offs, starts, margin = matching.match_from_features(
+                dev_a, na, dev_v, nv)
+            return (i, (quals, offs, starts, fa, fv, margin))
         dev_a = jax.device_put(_pad_pcm_i16(a))
         dev_v = jax.device_put(_pad_pcm_i16(v))
-        out = matching.extract_and_match(dev_a, sa // 210, dev_v, sv // 210)
-        return (i, out)
+        quals, offs, starts, feats_a, feats_v, margin = \
+            matching.extract_and_match(dev_a, sa // 210, dev_v, sv // 210)
+        return (i, (quals, offs, starts, feats_a, feats_v, margin))
 
     def pull_and_refine(i, out):
         # runs in a pool thread: the D2H pulls release the GIL, so the
@@ -279,10 +291,12 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
         starts = np.asarray(out[2])
         feats_a = np.asarray(out[3])
         feats_v = np.asarray(out[4])
+        margin = float(np.asarray(out[5]))
         sv, sa = true_samples[i]
         with _host_token():
             return _host_stages(quals, offs, starts, feats_a, feats_v,
-                                sa // 210, sv // 210, fit_backend, True)
+                                sa // 210, sv // 210, fit_backend, True,
+                                margin=margin)
 
     in_flight = deque(dispatch(i) for i in range(min(device_depth, b)))
     next_i = len(in_flight)
@@ -322,23 +336,26 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     use_compact = _use_compact()
     use_fused = _use_fused_batch()
 
-    def _consume_dense(combo_dev, w_st, fa, fv, na, nv):
-        # one pull per pair: trailing w_st int16 words per row are the
-        # bitcast band starts (match_pair_combo / concat_chunks_with_starts)
+    def _consume_dense(combo_dev, n_tracks, fa, fv, na, nv):
+        # one pull per pair: the trailing int16 words per row are the
+        # margin f16 word + pad, then 2*T bitcast band starts
+        # (match_pair_combo / concat_chunks_with_starts)
         buf = np.asarray(combo_dev)
+        w_st = 2 * n_tracks
         starts_tracks = np.ascontiguousarray(
             buf[:, -w_st:]).view(np.int32).T              # (T, B_pad)
+        margin = matching.margin_from_i16(buf[0, -w_st - 2])
         # leading-columns VIEW: the strided native feed reads the
         # packed rows in place (no second media-scale copy)
-        packed = buf[:, :-w_st]
+        packed = buf[:, :-(w_st + 2)]
         with _host_token():
             y, x = _consume_stream(iter([packed]), starts_tracks)
             return _host_stages_from_path(y, x, fa, fv, na, nv,
-                                          fit_backend, True)
+                                          fit_backend, True, margin=margin)
 
-    def consume(combo_dev, w_st, fa, fv, na, nv):
+    def consume(combo_dev, n_tracks, fa, fv, na, nv):
         try:
-            return _consume_dense(combo_dev, w_st, fa, fv, na, nv)
+            return _consume_dense(combo_dev, n_tracks, fa, fv, na, nv)
         finally:
             in_flight.release()
 
@@ -354,6 +371,7 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
         try:
             lay = matching.compact_layout(nb, n_tracks)
             fixed = np.asarray(compact_dev[:lay['fixed_end']])
+            margin = matching.margin_from_code(fixed[1])
             counts = fixed[slice(*lay['counts'])]
             st = np.ascontiguousarray(
                 fixed[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
@@ -386,7 +404,8 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                         starts_grouped, blk=210)
                     y, x = ctx.finish()
                 return _host_stages_from_path(y, x, fa, fv, na, nv,
-                                              fit_backend, True)
+                                              fit_backend, True,
+                                              margin=margin)
         finally:
             in_flight.release()
 
@@ -423,31 +442,31 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                             consume_compact, compact_dev,
                             (lambda d=dev_av, a_=na, v_=nv:
                              (matching.match_pair_combo(d, a_, v_),
-                              2 * matching.N_TRACKS)),
+                              matching.N_TRACKS)),
                             matching.N_TRACKS, nb, fa, fv, na, nv)))
                     else:
                         combo_dev = matching.match_pair_combo(dev_av,
                                                               na, nv)
                         futs.append((i, pool.submit(
-                            consume, combo_dev, 2 * matching.N_TRACKS,
+                            consume, combo_dev, matching.N_TRACKS,
                             fa, fv, na, nv)))
                     continue
-                chunks, starts_dev, _ = matching.match_stream_pair(
-                    dev_av, na, nv)
+                chunks, starts_dev, _, margin_dev = \
+                    matching.match_stream_pair(dev_av, na, nv)
                 if use_compact and starts_dev.shape[0] == 2:
                     compact_dev = matching.concat_chunks_compact(
-                        chunks, starts_dev)
+                        chunks, starts_dev, margin_dev)
                     futs.append((i, pool.submit(
                         consume_compact, compact_dev,
-                        (lambda ch=chunks, sd=starts_dev:
-                         (matching.concat_chunks_with_starts(ch, sd),
-                          2 * sd.shape[0])),
+                        (lambda ch=chunks, sd=starts_dev, md=margin_dev:
+                         (matching.concat_chunks_with_starts(ch, sd, md),
+                          sd.shape[0])),
                         starts_dev.shape[0], nb, fa, fv, na, nv)))
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
-                        chunks, starts_dev)
+                        chunks, starts_dev, margin_dev)
                     futs.append((i, pool.submit(consume, combo_dev,
-                                                2 * starts_dev.shape[0],
+                                                starts_dev.shape[0],
                                                 fa, fv, na, nv)))
             except BaseException:
                 # a failing dispatch must not leak its semaphore slot;
@@ -495,21 +514,20 @@ def _align_batch_sharded(pairs, true_samples, mesh, fit_backend,
                 fa_g[j], fv_g[j] = fa_g[len(idx) - 1], fv_g[len(idx) - 1]
                 lens_a[j], lens_v[j] = lens_a[len(idx) - 1], lens_v[len(idx) - 1]
             # f16 uploads, like the single-pair paths (same matcher view)
-            quals, offs, starts = sharded_match(mesh,
-                                                fa_g.astype(np.float16),
-                                                lens_a,
-                                                fv_g.astype(np.float16),
-                                                lens_v)
+            quals, offs, starts, margins = sharded_match(
+                mesh, fa_g.astype(np.float16), lens_a,
+                fv_g.astype(np.float16), lens_v)
             quals = np.asarray(quals)
             offs = np.asarray(offs)
             starts = np.asarray(starts)
+            margins = np.asarray(margins)
             futs = []
             for j, i in enumerate(idx):
                 sv, sa = true_samples[i]
                 futs.append((i, pool.submit(
                     _host_stages, quals[j], offs[j], starts[j],
                     fa_g[j], fv_g[j], sa // 210, sv // 210, fit_backend,
-                    True)))
+                    True, float(margins[j]))))
             for i, f in futs:
                 results[i] = f.result()
     return results
@@ -537,8 +555,8 @@ def warmup_compile(max_minutes):
         # and non-native fallbacks use
         dev_a = jax.device_put(fa16)
         dev_v = jax.device_put(fv16)
-        chunks, starts_dev, _ = matching.match_stream(dev_a, 210 * 30,
-                                                      dev_v, 210 * 30)
+        chunks, starts_dev, _, margin_dev = matching.match_stream(
+            dev_a, 210 * 30, dev_v, 210 * 30)
         np.asarray(chunks[0])
         if _use_compact() and starts_dev.shape[0] == 2:
             # single-pair production path pulls per-chunk compact buffers
@@ -562,14 +580,14 @@ def warmup_compile(max_minutes):
                 np.asarray(matching.match_pair_combo(dev_av, 210 * 30,
                                                      210 * 30))
         else:
-            chunks, starts_dev, _ = matching.match_stream_pair(
+            chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
                 dev_av, 210 * 30, 210 * 30)
             if _use_compact() and starts_dev.shape[0] == 2:
-                compact_dev = matching.concat_chunks_compact(chunks,
-                                                             starts_dev)
+                compact_dev = matching.concat_chunks_compact(
+                    chunks, starts_dev, margin_dev)
             else:
-                np.asarray(matching.concat_chunks_with_starts(chunks,
-                                                              starts_dev))
+                np.asarray(matching.concat_chunks_with_starts(
+                    chunks, starts_dev, margin_dev))
         if compact_dev is not None:
             # the consumer pulls [0:fixed_end] then a step-quantized live
             # slice; dispatching each slice size compiles it (results land
@@ -817,25 +835,30 @@ def _streamed_lis(dev_a, na, dev_v, nv):
     FINE_CHUNK-block pieces; prefetch threads pull chunks off the device
     (the D2H releases the GIL, so link transfers overlap each other and
     the compute) while the main thread feeds finished chunks into the
-    stateful C++ LIS in audio order. Returns (video_path, audio_path),
-    identical to the single-shot pipeline."""
+    stateful C++ LIS in audio order. Returns (video_path, audio_path,
+    coarse margin); the paths are identical to the single-shot
+    pipeline's."""
     from concurrent.futures import ThreadPoolExecutor
 
-    chunks, starts_tracks_dev, _ = matching.match_stream(
+    chunks, starts_tracks_dev, _, margin_dev = matching.match_stream(
         dev_a, na, dev_v, nv)
     if _use_compact() and starts_tracks_dev.shape[0] == 2:
         k2 = (starts_tracks_dev.shape[0] - 1) * (matching.TOP_K // 2)
         comp = [matching.compact_chunk(ch, k2=k2) for ch in chunks]
         with ThreadPoolExecutor(_pull_threads()) as pool:
             futs = [pool.submit(lambda c=c: np.asarray(c)) for c in comp]
+            mfut = pool.submit(lambda: float(np.asarray(margin_dev)))
             starts_tracks = np.asarray(starts_tracks_dev)
-            return _consume_stream_compact((f.result() for f in futs),
+            y, x = _consume_stream_compact((f.result() for f in futs),
                                            chunks, starts_tracks)
+            return y, x, mfut.result()
     with ThreadPoolExecutor(_pull_threads()) as pool:
         futs = [pool.submit(lambda ch=ch: np.asarray(ch)) for ch in chunks]
+        mfut = pool.submit(lambda: float(np.asarray(margin_dev)))
         # pull the (tiny) coarse starts while the first chunks compute
         starts_tracks = np.asarray(starts_tracks_dev)
-        return _consume_stream((f.result() for f in futs), starts_tracks)
+        y, x = _consume_stream((f.result() for f in futs), starts_tracks)
+        return y, x, mfut.result()
 
 
 def _use_streaming():
@@ -878,21 +901,37 @@ def _rescale_native(feats_a_np, feats_v_np, na, nv, xi, yi,
     return True
 
 
+def warn_low_confidence(margin):
+    """Emit the low-confidence WARNING line when the coarse k-best margin
+    sits below the campaign-calibrated floor (matching.COARSE_MARGIN_FLOOR;
+    see matching._coarse_tracks). The reference's equivalent is the
+    hash-gate path starving into a raise (describealign.py:698-699); we
+    warn instead of refusing because the fine gates + LIS recover correct
+    maps on 5 of 12 adjudicated narrowband draws where the reference
+    raises (ROUND4.md)."""
+    if margin is not None and margin < matching.COARSE_MARGIN_FLOOR:
+        print(f"  WARNING: low alignment confidence (coarse margin "
+              f"{margin:.3f}), likely mismatched or heavily distorted "
+              f"files")
+
+
 def _host_stages(quals, offs, starts, feats_a_np, feats_v_np, na, nv,
-                 fit_backend, quiet=False):
+                 fit_backend, quiet=False, margin=None):
     """LIS -> filter -> rescale -> compress -> fit -> pass 2 -> outputs."""
     y, x = lis.lis_from_match(quals, offs, starts)  # y=video, x=audio
     return _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
-                                  fit_backend, quiet)
+                                  fit_backend, quiet, margin=margin)
 
 
 def _host_stages_from_path(y, x, feats_a_np, feats_v_np, na, nv,
-                           fit_backend, quiet=False):
+                           fit_backend, quiet=False, margin=None):
     if os.environ.get('DESCRIBEALIGN_TAIL_DEBUG'):
-        return _host_stages_from_path_timed(y, x, feats_a_np, feats_v_np,
-                                            na, nv, fit_backend, quiet)
-    return _host_stages_from_path_inner(y, x, feats_a_np, feats_v_np,
-                                        na, nv, fit_backend, quiet)
+        r = _host_stages_from_path_timed(y, x, feats_a_np, feats_v_np,
+                                         na, nv, fit_backend, quiet)
+    else:
+        r = _host_stages_from_path_inner(y, x, feats_a_np, feats_v_np,
+                                         na, nv, fit_backend, quiet)
+    return r + (margin,)
 
 
 def _host_stages_from_path_timed(y, x, feats_a_np, feats_v_np, na, nv,

@@ -230,7 +230,8 @@ def _coarse_dp(p_map):
     lanes per block; deviations cost DP_SLOPE_COST per lane, capped by a
     flat DP_JUMP_COST for arbitrary jumps (content skips / start offsets).
     The |.| distance transform is exact via two running cummax passes.
-    Returns the per-block video coarse index (B,) i32 via backtrace.
+    Returns (per-block video coarse index (B,) i32 via backtrace,
+    the track's total score = max of the final cost row).
     """
     nb, d = p_map.shape
 
@@ -250,7 +251,8 @@ def _coarse_dp(p_map):
 
     _, path = jax.lax.scan(back_step, o_last, cost[:-1], reverse=True,
                            unroll=DP_SCAN_UNROLL)
-    return jnp.concatenate([path, o_last[None]]).astype(jnp.int32)
+    return (jnp.concatenate([path, o_last[None]]).astype(jnp.int32),
+            cost[-1][o_last])
 
 
 # HBM guard for the coarse pass: above this many score-map elements
@@ -344,7 +346,8 @@ def _coarse_dp_streamed(desc_a, desc_v_list, nb, suppress_paths=()):
     _, path_chunks = jax.lax.scan(bwd_chunk, o_last,
                                   (jnp.arange(n_chunks), ckpts),
                                   reverse=True)
-    return path_chunks.reshape(nb_pad)[:nb].astype(jnp.int32)
+    return (path_chunks.reshape(nb_pad)[:nb].astype(jnp.int32),
+            last_row[o_last])
 
 
 # ---------------------------------------------------------------------------
@@ -425,10 +428,10 @@ def extract_and_match(pcm_a_i16, len_a, pcm_v_i16, len_v):
     feats_v = jnp.where(idx_v < len_v, feats_v, 0.0)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    quals, offs, starts, centers = _match_core(
+    quals, offs, starts, centers, margin = _match_core(
         ms_a, norms_a, feats_a[0], len_a,
         ms_v, norms_v, feats_v[0], len_v)
-    return quals, offs, starts, feats_a, feats_v
+    return quals, offs, starts, feats_a, feats_v, margin
 
 
 @partial(jax.jit, static_argnames=())
@@ -452,11 +455,13 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     feats_v = feats_v.astype(jnp.float32)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
-                                         ms_v, norms_v, feats_v[0], len_v)
+    quals, offs, starts, _, margin = _match_core(
+        ms_a, norms_a, feats_a[0], len_a,
+        ms_v, norms_v, feats_v[0], len_v)
     # same u8 transport grid as the streamed chunks, returned as the
     # decoded f16 values: both paths feed the LIS bit-identical qualities
-    return _qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts
+    return (_qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts,
+            margin)
 
 
 # --- quality transport grid --------------------------------------------------
@@ -507,13 +512,13 @@ def _match_coarse_impl(feats_a, len_a, feats_v, len_v):
     feats_v = feats_v.astype(jnp.float32)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    a_mask, v_mask, starts_tracks, _ = _coarse_tracks(
+    a_mask, v_mask, starts_tracks, _, margin = _coarse_tracks(
         ms_a, norms_a, feats_a[0], len_a, ms_v, norms_v, feats_v[0], len_v)
     nb = starts_tracks.shape[1]
     b_pad = -(-nb // FINE_CHUNK) * FINE_CHUNK
     starts_tracks = jnp.pad(starts_tracks, ((0, 0), (0, b_pad - nb)),
                             mode='edge')
-    return ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks
+    return ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks, margin
 
 
 @partial(jax.jit, static_argnames=())
@@ -585,11 +590,53 @@ def _pack_slots(q, o):
     return jnp.concatenate([codes16, lo16, hi16], axis=2).reshape(c, -1)
 
 
+# --- coarse-confidence margin transport --------------------------------
+# The k-best coarse margin (see _coarse_tracks) rides inside the existing
+# per-pair buffers so surfacing it costs ZERO extra link round trips:
+# dense transports carry it as one f16 word (+1 pad word) between the
+# packed rows and the trailing starts words; compact transports carry a
+# u8 code in header byte 1. Calibration (scripts/diag_confidence.py,
+# 128 draws over 8 profiles): wrong coarse tracks score 0.007-0.029,
+# correct ones 0.056+ (clean profiles 0.115+), so 0.04 splits them with
+# ~1.4x headroom both ways.
+COARSE_MARGIN_FLOOR = 0.04
+
+
+def _margin_code_u8(margin):
+    """f32 margin -> u8 transport code: 0 = absent (never emitted by the
+    device), 255 = +inf or >= 0.508, else 1 + round(margin * 500)."""
+    code = jnp.clip(jnp.round(margin * 500.0), 0, 254) + 1
+    return jnp.where(jnp.isfinite(margin), code, 255).astype(jnp.uint8)
+
+
+def margin_from_code(code):
+    """Host decoder of _margin_code_u8 (None when absent)."""
+    code = int(code)
+    if code == 0:
+        return None
+    return float('inf') if code == 255 else (code - 1) / 500.0
+
+
+def _margin_words_i16(margin, rows):
+    """(rows, 2) int16 column pair: [bitcast f16 margin, 0] per row."""
+    m16 = jax.lax.bitcast_convert_type(margin.astype(jnp.float16),
+                                       jnp.int16)
+    return jnp.concatenate(
+        [jnp.broadcast_to(m16, (rows, 1)), jnp.zeros((rows, 1), jnp.int16)],
+        axis=1)
+
+
+def margin_from_i16(word):
+    """Host decoder of _margin_words_i16's f16 word."""
+    return float(np.array(word, np.int16).view(np.float16))
+
+
 @jax.jit
-def concat_chunks_with_starts(chunks, starts_tracks):
+def concat_chunks_with_starts(chunks, starts_tracks, margin):
     """Batch transport: the streamed chunks concatenated along blocks with
-    each block's band starts bitcast into 2*T trailing int16 words per row
-    - ONE (B_pad, W + 2*T) buffer, so the batch path pays a single D2H
+    the coarse margin (one f16 word + one pad word) and each block's band
+    starts bitcast into 2*T trailing int16 words per row - ONE
+    (B_pad, W + 2 + 2*T) buffer, so the batch path pays a single D2H
     round trip per pair (the separate starts pull was a second ~26 ms
     round trip on the tunneled link). Split back by api's batch consumer.
     """
@@ -601,7 +648,8 @@ def concat_chunks_with_starts(chunks, starts_tracks):
     # padding rows dropped before the pull); starts rows follow suit
     st16 = st16[:packed.shape[0]]
     return jnp.concatenate(
-        [packed, st16.reshape(st16.shape[0], -1)], axis=1)
+        [packed, _margin_words_i16(margin, packed.shape[0]),
+         st16.reshape(st16.shape[0], -1)], axis=1)
 
 
 # --- compacted batch transport ------------------------------------------
@@ -769,11 +817,11 @@ def _compact_sections(packed, k2, b1, b2):
 
 
 @jax.jit
-def concat_chunks_compact(chunks, starts_tracks):
+def concat_chunks_compact(chunks, starts_tracks, margin):
     """Batch transport, compacted: one (L,) u8 buffer per pair (see the
-    layout above). Same candidate content as concat_chunks_with_starts;
-    the consumer pulls [0:fixed_end] then exactly the occupied live
-    bytes."""
+    layout above; header byte 1 carries the coarse-margin u8 code). Same
+    candidate content as concat_chunks_with_starts; the consumer pulls
+    [0:fixed_end] then exactly the occupied live bytes."""
     packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
     nb = packed.shape[0]
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
@@ -781,7 +829,7 @@ def concat_chunks_compact(chunks, starts_tracks):
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
         jnp.uint8).reshape(-1)                          # nb*T*4
-    header = jnp.zeros((4,), jnp.uint8)
+    header = jnp.zeros((4,), jnp.uint8).at[1].set(_margin_code_u8(margin))
     return jnp.concatenate([header, counts, st_u8, live])
 
 
@@ -878,9 +926,11 @@ def _match_pair_fused(feats_av, len_a, len_v):
     pulls a single buffer per pair anyway - chunk-level dispatch only buys
     latency overlap, which batch mode gets from cross-pair pipelining -
     while each dispatch costs host CPU (client serialization) and a tunnel
-    round trip. Returns (packed (nb, W) i16 rows, starts_tracks (T, B_pad))."""
+    round trip. Returns (packed (nb, W) i16 rows, starts_tracks (T, B_pad),
+    margin f32 scalar)."""
     state = _match_coarse_impl(feats_av[0], len_a, feats_av[1], len_v)
-    ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks = state
+    (ms_a, norms_a, a_mask, ms_v, norms_v, v_mask, starts_tracks,
+     margin) = state
     b_pad = starts_tracks.shape[1]
     n_chunks = b_pad // FINE_CHUNK
     nb = nb_for(feats_av.shape[2])
@@ -899,20 +949,21 @@ def _match_pair_fused(feats_av, len_a, len_v):
     _, packed = jax.lax.scan(
         step, None, jnp.arange(n_chunks, dtype=jnp.int32) * FINE_CHUNK)
     packed = packed.reshape(n_chunks * FINE_CHUNK, -1)[:nb]
-    return packed, starts_tracks
+    return packed, starts_tracks, margin
 
 
 @partial(jax.jit, static_argnames=())
 def match_pair_combo(feats_av, len_a, len_v):
     """ONE-dispatch batch transport, dense: the fused matcher's packed rows
-    with the band starts bitcast into trailing int16 words per row (same
-    layout as concat_chunks_with_starts)."""
-    packed, starts_tracks = _match_pair_fused(feats_av, len_a, len_v)
+    with the margin words + band starts bitcast into trailing int16 words
+    per row (same layout as concat_chunks_with_starts)."""
+    packed, starts_tracks, margin = _match_pair_fused(feats_av, len_a, len_v)
     st16 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks).astype(jnp.int32),
         jnp.int16)[:packed.shape[0]]
     return jnp.concatenate(
-        [packed, st16.reshape(st16.shape[0], -1)], axis=1)
+        [packed, _margin_words_i16(margin, packed.shape[0]),
+         st16.reshape(st16.shape[0], -1)], axis=1)
 
 
 @partial(jax.jit, static_argnames=())
@@ -920,21 +971,22 @@ def match_pair_compact(feats_av, len_a, len_v):
     """ONE-dispatch batch transport, compacted (layout of compact_layout;
     byte-identical buffer to concat_chunks_compact on the chunked
     dispatch path - CI-enforced)."""
-    packed, starts_tracks = _match_pair_fused(feats_av, len_a, len_v)
+    packed, starts_tracks, margin = _match_pair_fused(feats_av, len_a, len_v)
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
     counts, live = _compact2_live(packed, k2)
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :packed.shape[0]]).astype(jnp.int32),
         jnp.uint8).reshape(-1)
-    header = jnp.zeros((4,), jnp.uint8)
+    header = jnp.zeros((4,), jnp.uint8).at[1].set(_margin_code_u8(margin))
     return jnp.concatenate([header, counts, st_u8, live])
 
 
 def match_stream(dev_a, len_a, dev_v, len_v):
     """Dispatch the full streaming matcher. Returns (chunk_outputs,
-    starts_tracks_dev (T, B_pad) device array, n_chunks); chunk_outputs is
-    a list of async device (quals, offs) pairs in audio order. Everything
-    is dispatched without a single host sync - the caller pulls results."""
+    starts_tracks_dev (T, B_pad) device array, n_chunks, margin_dev f32
+    scalar); chunk_outputs is a list of async device (quals, offs) pairs
+    in audio order. Everything is dispatched without a single host sync -
+    the caller pulls results."""
     state = match_coarse(dev_a, len_a, dev_v, len_v)
     return _dispatch_stream(state, dev_a.shape[1])
 
@@ -971,7 +1023,7 @@ def _dispatch_stream(state, npad):
         if rows < FINE_CHUNK:
             chunk = _trim_rows(chunk, rows)
         chunks.append(chunk)
-    return chunks, starts_tracks, n_chunks
+    return chunks, starts_tracks, n_chunks, state[7]
 
 
 @partial(jax.jit, static_argnames=('rows',))
@@ -989,10 +1041,10 @@ def _abs_vids(offs, starts):
 @partial(jax.jit, static_argnames=())
 def match_pair(feats_a, norms_a, energy_a, len_a,
                feats_v, norms_v, energy_v, len_v):
-    quals, offs, starts, centers = _match_core(
+    quals, offs, starts, centers, margin = _match_core(
         feats_a, norms_a, energy_a, len_a,
         feats_v, norms_v, energy_v, len_v)
-    return quals, _abs_vids(offs, starts), centers
+    return quals, _abs_vids(offs, starts), centers, margin
 
 
 # k-best coarse tracking: lanes within this radius of an earlier track are
@@ -1016,7 +1068,20 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
     """Masks + coarse score map + k-best DP tracks.
 
     Returns (a_mask, v_mask, starts_tracks (T, B) i32 band starts,
-    centers (B,) best-track offset frames).
+    centers (B,) best-track offset frames, margin f32 scalar).
+
+    margin = (track-1 score - track-2 score) / anchor blocks: the winning
+    coarse hypothesis's per-anchor-block advantage over the best genuinely
+    different alternative (k-best suppression guarantees disjoint lanes).
+    Near-zero margins mean the signal the coarse stage needs is absent
+    from the score map and the winning track is likely a self-similarity
+    ridge (the confidently-wrong narrowband regime, ROUND4.md): campaign
+    calibration (scripts/diag_confidence.py) shows wrong tracks at
+    0.007-0.029 vs correct tracks at 0.056+ across every profile. The
+    reference's equivalent guard is its hash-bin gate starving the path
+    and raising (describealign.py:698-699); ours warns via
+    COARSE_MARGIN_FLOOR (api/pipeline) instead of refusing, preserving
+    the 5-of-12 narrowband draws we recover where the reference raises.
     """
     nv_pad = feats_v.shape[1]
     a_mask = valid_audio_mask(energy_a, len_a)
@@ -1030,22 +1095,39 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
     nb = ka // COARSE_PER_BLOCK
 
     v_paths = []
+    scores = []
     if nb * kv > COARSE_STREAM_ELEMS:
         # hour-plus media: the (B, D) score/cost tensors would not fit HBM;
         # stream the DP with checkpointed rematerialization instead
         for _ in range(N_TRACKS):
-            v_paths.append(_coarse_dp_streamed(desc_a, desc_v_list, nb,
-                                               v_paths))
+            v_path, score = _coarse_dp_streamed(desc_a, desc_v_list, nb,
+                                                v_paths)
+            v_paths.append(v_path)
+            scores.append(score)
     else:
         p_map = _block_scores_local(desc_a, desc_v_list)
         lanes = jnp.arange(kv, dtype=jnp.int32)[None, :]
         suppressed = p_map
         for _ in range(N_TRACKS):
-            v_path = _coarse_dp(suppressed)           # (B,) video coarse idx
+            v_path, score = _coarse_dp(suppressed)    # (B,) video coarse idx
             v_paths.append(v_path)
+            scores.append(score)
             suppressed = jnp.where(
                 jnp.abs(lanes - v_path[:, None]) <= SUPPRESS_LANES,
                 -1e30, suppressed)
+
+    # anchor blocks: audio blocks contributing any eligible coarse
+    # descriptor (quiet blocks add identical relaxation terms to every
+    # track, so they carry no evidence and are excluded from the norm)
+    anchor_rows = a_mask[np.arange(ka) * COARSE_STRIDE]
+    n_anchor = jnp.sum(jnp.any(
+        anchor_rows[:nb * COARSE_PER_BLOCK].reshape(nb, COARSE_PER_BLOCK),
+        axis=1).astype(jnp.int32))
+    if len(scores) >= 2:
+        margin = ((scores[0] - scores[1])
+                  / jnp.maximum(1, n_anchor).astype(jnp.float32))
+    else:
+        margin = jnp.float32(jnp.inf)
 
     starts_tracks = []
     centers0 = None
@@ -1057,7 +1139,7 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
         starts_tracks.append(jnp.clip(
             jnp.arange(nb, dtype=jnp.int32) * BLOCK + centers
             - FINE_HALF_BAND, 0, nv_pad - (FINE_W + WINDOW - 1)))
-    return a_mask, v_mask, jnp.stack(starts_tracks, axis=0), centers0
+    return a_mask, v_mask, jnp.stack(starts_tracks, axis=0), centers0, margin
 
 
 def _fine_tracks(feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
@@ -1152,11 +1234,11 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     slot j belongs to band g = j // TOP_K, and its video frame is
     starts[b, g] + offs[b, l, j].
     """
-    a_mask, v_mask, starts_tracks, centers = _coarse_tracks(
+    a_mask, v_mask, starts_tracks, centers, margin = _coarse_tracks(
         feats_a, norms_a, energy_a, len_a,
         feats_v, norms_v, energy_v, len_v)
     nb = starts_tracks.shape[1]
     quals, offs, starts = _fine_tracks(
         feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
         starts_tracks, 0, nb, nb)
-    return quals, offs, starts, centers
+    return quals, offs, starts, centers, margin

@@ -34,9 +34,10 @@ def device_align_step(feats_a, len_a, feats_v, len_v):
     feats_*: (5, Npad) stacked raw features (f16 uploads welcome - cast
     to f32 here, like the single-pair entry points). Returns the
     compressed candidate form (quals f16 (B,210,K), offs int16,
-    starts int32) that the host stages consume (video frame =
-    starts[b] + off). Qualities ride the same u8 transport grid as the
-    single-pair paths, so sharded and serial results are identical.
+    starts int32) plus the coarse-confidence margin (f32 scalar) that
+    the host stages consume (video frame = starts[b] + off). Qualities
+    ride the same u8 transport grid as the single-pair paths, so sharded
+    and serial results are identical.
     """
     import jax.numpy as jnp
     from ..alignment.matching import _qual_dequantize_f16, _qual_quantize_u8
@@ -44,9 +45,11 @@ def device_align_step(feats_a, len_a, feats_v, len_v):
     feats_v = feats_v.astype(jnp.float32)
     ms_a, norms_a = preprocess_features(feats_a)
     ms_v, norms_v = preprocess_features(feats_v)
-    quals, offs, starts, _ = _match_core(ms_a, norms_a, feats_a[0], len_a,
-                                         ms_v, norms_v, feats_v[0], len_v)
-    return _qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts
+    quals, offs, starts, _, margin = _match_core(
+        ms_a, norms_a, feats_a[0], len_a,
+        ms_v, norms_v, feats_v[0], len_v)
+    return (_qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts,
+            margin)
 
 
 @jax.jit

@@ -177,7 +177,7 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
     (reference README.md:136-140).
     """
     from . import __version__
-    from .alignment.api import align_from_pcm
+    from .alignment.api import align_from_pcm, warn_low_confidence
     from .media.decode import parse_audio_int16
     from .media import ffmpeg as ffmpeg_mod
     from .media.mux import encode_fit_as_ffmpeg_expr, write_replaced_media_to_disk
@@ -352,8 +352,15 @@ def combine(video, audio, stretch_audio=False, yes=False, prepend="ad_",
                                     audio_desc_file, outputs, num_channels)
                 del video_i16, audio_i16
             audio_desc_times, video_times, similarity_percent, path, \
-                median_slope = outputs
+                median_slope = outputs[:5]
+            coarse_margin = outputs[5] if len(outputs) > 5 else None
 
+            # low-confidence guard (matching._coarse_tracks): near-zero
+            # coarse k-best margins mark maps built on self-similarity
+            # ridges rather than real signal - the regime where a
+            # confidently-wrong map can ship with similarity above the
+            # 20% floor (ROUND4.md narrowband draw 02)
+            warn_low_confidence(coarse_margin)
             if similarity_percent < 20:
                 print(f"  WARNING: similarity {similarity_percent:.1f}%, "
                       f"likely mismatched files")

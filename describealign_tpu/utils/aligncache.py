@@ -43,20 +43,28 @@ def load(alignment_dir, video_file, audio_file, num_channels=1):
         if str(data['key']) != _pair_key(video_file, audio_file,
                                          num_channels):
             return None
+        # coarse margin: optional 6th element (None on caches written
+        # before the low-confidence guard; nan encodes a missing margin)
+        margin = None
+        if 'coarse_margin' in data:
+            m = float(data['coarse_margin'])
+            margin = None if np.isnan(m) else m
         return (data['audio_times'], data['video_times'],
                 float(data['similarity']), data['path'],
-                float(data['median_slope']))
+                float(data['median_slope']), margin)
     except Exception:
         return None
 
 
 def save(alignment_dir, video_file, audio_file, outputs, num_channels=1):
-    audio_times, video_times, similarity, path, median_slope = outputs
+    audio_times, video_times, similarity, path, median_slope = outputs[:5]
+    margin = outputs[5] if len(outputs) > 5 else None
     try:
         np.savez_compressed(
             cache_path(alignment_dir, video_file),
             key=_pair_key(video_file, audio_file, num_channels),
             audio_times=audio_times, video_times=video_times,
-            similarity=similarity, path=path, median_slope=median_slope)
+            similarity=similarity, path=path, median_slope=median_slope,
+            coarse_margin=np.nan if margin is None else float(margin))
     except Exception:
         pass  # cache is best-effort

@@ -49,9 +49,10 @@ def main():
         outs = []
         for fav, na, nv in staged:
             dev_av = jax.device_put(fav)
-            chunks, starts_dev, _ = matching.match_stream_pair(dev_av, na,
-                                                               nv)
-            outs.append(matching.concat_chunks_compact(chunks, starts_dev))
+            chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
+                dev_av, na, nv)
+            outs.append(matching.concat_chunks_compact(chunks, starts_dev,
+                                                       margin_dev))
         # pull only the 4-byte headers: forces every program to finish
         # without paying the multi-MB transfers
         return [np.asarray(o[:4]) for o in outs]

@@ -55,7 +55,7 @@ def main():
         x, y, sim, path, m = align_from_pcm(_pad_pcm_i16(video),
                                             _pad_pcm_i16(audio),
                                             video_samples=sv,
-                                            audio_samples=sa)
+                                            audio_samples=sa)[:5]
     print(f"alignment (context): {time.time() - t:6.2f} s  "
           f"sim {sim:.1f}%", flush=True)
 

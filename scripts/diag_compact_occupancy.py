@@ -34,10 +34,12 @@ def main():
         fav[0] = fa
         fav[1] = fv
         dev_av = jax.device_put(fav)
-        chunks, starts_dev, _ = matching.match_stream_pair(dev_av, na, nv)
+        chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
+            dev_av, na, nv)
         nb = matching.nb_for(npad)
         lay = matching.compact_layout(nb, starts_dev.shape[0])
-        buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev))
+        buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev,
+                                                        margin_dev))
         counts = buf[slice(*lay['counts'])]
         t1 = int(np.sum(counts & 15, dtype=np.int64))
         t2 = int(np.sum(counts >> 4, dtype=np.int64))

@@ -58,7 +58,8 @@ def main():
                 t0, c0 = ev('pull', i, t0, c0)
                 starts = np.ascontiguousarray(
                     buf[:, -w_st:]).view(np.int32).T
-                packed = buf[:, :-w_st]          # strided in-place feed
+                # margin words (2) sit between the packed rows and starts
+                packed = buf[:, :-(w_st + 2)]    # strided in-place feed
                 with api._host_token():
                     t0, c0 = ev('token', i, t0, c0)
                     y, x = api._consume_stream(iter([packed]), starts)
@@ -136,18 +137,18 @@ def main():
                     fav[1] = fv
                 dev_av = jax.device_put(fav)
                 t0, c0 = ev('h2d', i, t0, c0)
-                chunks, starts_dev, _ = matching.match_stream_pair(
+                chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
                     dev_av, na, nv)
                 if use_compact:
                     compact_dev = matching.concat_chunks_compact(
-                        chunks, starts_dev)
+                        chunks, starts_dev, margin_dev)
                     t0, c0 = ev('dispatch', i, t0, c0)
                     futs.append((i, pool.submit(
                         consume_compact, compact_dev, chunks, starts_dev,
                         matching.nb_for(npad), fa, fv, na, nv, i)))
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
-                        chunks, starts_dev)
+                        chunks, starts_dev, margin_dev)
                     t0, c0 = ev('dispatch', i, t0, c0)
                     futs.append((i, pool.submit(consume, combo_dev,
                                                 2 * starts_dev.shape[0],

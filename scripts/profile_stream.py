@@ -44,8 +44,8 @@ def main():
         t['feat_a+h2d'] = time.time() - t0
 
         t0 = time.time()
-        chunks, starts_dev, n_chunks = matching.match_stream(dev_a, na_,
-                                                             dev_v, nv_)
+        chunks, starts_dev, n_chunks, _ = matching.match_stream(
+            dev_a, na_, dev_v, nv_)
         t['dispatch'] = time.time() - t0
 
         pull_times = []

@@ -61,8 +61,8 @@ def test_align_from_pcm_device_features(monkeypatch):
     def to_i16(p):
         return np.clip(p, -32768, 32767).astype(np.int16)
 
-    x, y, similarity, path, median_slope = align_from_pcm(to_i16(video),
-                                                          to_i16(audio))
+    x, y, similarity, path, median_slope = align_from_pcm(
+        to_i16(video), to_i16(audio))[:5]
     check_mapping(x, y, segments)
     assert similarity > 60
 
@@ -83,8 +83,8 @@ def test_align_without_native_library(monkeypatch):
     def to_i16(p):
         return np.clip(p, -32768, 32767).astype(np.int16)
 
-    x, y, similarity, path, median_slope = align_from_pcm(to_i16(video),
-                                                          to_i16(audio))
+    x, y, similarity, path, median_slope = align_from_pcm(
+        to_i16(video), to_i16(audio))[:5]
     check_mapping(x, y, segments)
     assert similarity > 60
 
@@ -111,10 +111,10 @@ def test_streamed_lis_matches_single_shot():
     fv, nv = host_features_padded(video, sv, npad)
     fa, na = host_features_padded(audio, sa, npad)
     dev_v, dev_a = jax.device_put(fv), jax.device_put(fa)
-    quals, offs, starts = matching.match_from_features(dev_a, na, dev_v, nv)
+    quals, offs, starts, _ = matching.match_from_features(dev_a, na, dev_v, nv)
     want_y, want_x = lis.lis_from_match(np.asarray(quals), np.asarray(offs),
                                         np.asarray(starts))
-    got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+    got_y, got_x, _ = _streamed_lis(dev_a, na, dev_v, nv)
     np.testing.assert_array_equal(got_y, want_y)
     np.testing.assert_array_equal(got_x, want_x)
 
@@ -147,11 +147,11 @@ def test_streamed_multichunk_matches_single_shot(monkeypatch):
         fa, na = host_features_padded(audio, sa, npad)
         dev_v = jax.device_put(fv.astype(np.float16))
         dev_a = jax.device_put(fa.astype(np.float16))
-        _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
+        _, _, n_chunks, _ = matching.match_stream(dev_a, na, dev_v, nv)
         assert n_chunks >= 3, f"expected multi-chunk stream, got {n_chunks}"
-        got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
-        quals, offs, starts = matching.match_from_features(dev_a, na,
-                                                           dev_v, nv)
+        got_y, got_x, _ = _streamed_lis(dev_a, na, dev_v, nv)
+        quals, offs, starts, _ = matching.match_from_features(dev_a, na,
+                                                              dev_v, nv)
         want_y, want_x = lis.lis_from_match(
             np.asarray(quals), np.asarray(offs), np.asarray(starts))
         np.testing.assert_array_equal(got_y, want_y)
@@ -291,9 +291,10 @@ def test_align_batch_compact_transport_matches(monkeypatch):
     fav = np.empty((2, 5, npad), np.float16)
     fav[0] = fa
     fav[1] = fv
-    chunks, starts_dev, _ = matching.match_stream_pair(
+    chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
         jax.device_put(fav), na, nv)
-    buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev))
+    buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev,
+                                                    margin_dev))
     nb = matching.nb_for(npad)
     lay = matching.compact_layout(nb, starts_dev.shape[0])
     assert buf.shape[0] == lay['total']
@@ -337,14 +338,15 @@ def test_fused_batch_transport_matches_chunked():
     fav[1] = fv
     dev_av = jax.device_put(fav)
 
-    chunks, starts_dev, _ = matching.match_stream_pair(dev_av, na, nv)
+    chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
+        dev_av, na, nv)
     want_dense = np.asarray(
-        matching.concat_chunks_with_starts(chunks, starts_dev))
+        matching.concat_chunks_with_starts(chunks, starts_dev, margin_dev))
     got_dense = np.asarray(matching.match_pair_combo(dev_av, na, nv))
     np.testing.assert_array_equal(got_dense, want_dense)
 
     want_comp = np.asarray(
-        matching.concat_chunks_compact(chunks, starts_dev))
+        matching.concat_chunks_compact(chunks, starts_dev, margin_dev))
     got_comp = np.asarray(matching.match_pair_compact(dev_av, na, nv))
     np.testing.assert_array_equal(got_comp, want_comp)
 
@@ -393,13 +395,13 @@ def test_streamed_compact_transport_matches(monkeypatch):
         fa, na = host_features_padded(audio, sa, npad)
         dev_v = jax.device_put(fv.astype(np.float16))
         dev_a = jax.device_put(fa.astype(np.float16))
-        _, _, n_chunks = matching.match_stream(dev_a, na, dev_v, nv)
+        _, _, n_chunks, _ = matching.match_stream(dev_a, na, dev_v, nv)
         assert n_chunks >= 3, f"expected multi-chunk stream, got {n_chunks}"
         monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '0')
-        want_y, want_x = _streamed_lis(dev_a, na, dev_v, nv)
+        want_y, want_x, _ = _streamed_lis(dev_a, na, dev_v, nv)
 
         monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
-        got_y, got_x = _streamed_lis(dev_a, na, dev_v, nv)
+        got_y, got_x, _ = _streamed_lis(dev_a, na, dev_v, nv)
         np.testing.assert_array_equal(got_y, want_y)
         np.testing.assert_array_equal(got_x, want_x)
 
@@ -409,7 +411,7 @@ def test_streamed_compact_transport_matches(monkeypatch):
         monkeypatch.setattr(matching, 'COMPACT_CHUNK_BUDGET2', 0.01)
         matching.compact_chunk.clear_cache()
         try:
-            got2_y, got2_x = _streamed_lis(dev_a, na, dev_v, nv)
+            got2_y, got2_x, _ = _streamed_lis(dev_a, na, dev_v, nv)
         finally:
             matching.compact_chunk.clear_cache()
         np.testing.assert_array_equal(got2_y, want_y)
@@ -465,8 +467,8 @@ def test_match_quality_values_match_reference_formula():
     fv = _stack_padded(fs_v, nv, npad)
     ms_a, norms_a = preprocess.preprocess_features(fa)
     ms_v, norms_v = preprocess.preprocess_features(fv)
-    quals, vids, _ = matching.match_pair(ms_a, norms_a, fa[0], na,
-                                         ms_v, norms_v, fv[0], nv)
+    quals, vids, _, _ = matching.match_pair(ms_a, norms_a, fa[0], na,
+                                            ms_v, norms_v, fv[0], nv)
     cand_a, cand_v, cand_q = lis.candidates_from_match_output(quals, vids)
     assert len(cand_a) > 500
 

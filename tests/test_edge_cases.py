@@ -14,7 +14,7 @@ def test_short_but_valid_media_aligns():
     """Just above the reference's minimum path floor (5*210 frames = 5 s)."""
     video, audio, _ = build_pair(content_seconds=9.0, narration=(),
                                  lead_in=1.5, seed=41)
-    x, y, sim, path, m = align_from_pcm(_i16(video), _i16(audio))
+    x, y, sim, path, m = align_from_pcm(_i16(video), _i16(audio))[:5]
     assert abs(float(x[0] - y[0]) - 1.5) < 0.3
     assert sim > 80
 
@@ -35,7 +35,7 @@ def test_silence_gaps_inside_content():
     video = _i16(content)[None]
     audio = _i16(np.concatenate([speech_like(5.0, seed=1042, amp=5000.0),
                                  content]))[None]
-    x, y, sim, path, m = align_from_pcm(video, audio)
+    x, y, sim, path, m = align_from_pcm(video, audio)[:5]
     assert abs(float(x[0] - y[0]) - 5.0) < 0.3
 
 
@@ -47,5 +47,5 @@ def test_media_length_exactly_on_bucket_boundary():
     audio = _i16(np.concatenate([speech_like(4.0, seed=1043, amp=5000.0),
                                  content]))[None]
     assert audio.shape[1] == int(secs * SR)
-    x, y, sim, path, m = align_from_pcm(video, audio)
+    x, y, sim, path, m = align_from_pcm(video, audio)[:5]
     assert abs(float(x[0] - y[0]) - 4.0) < 0.3

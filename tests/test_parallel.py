@@ -56,8 +56,9 @@ def test_sequence_sharded_features_match_unsharded():
 
 def test_batched_match_equals_single(small_batch):
     fa, la, fv, lv = small_batch
-    quals_b, vids_b, centers_b = jax.jit(batched_match)(fa, la, fv, lv)
-    q0, v0, c0 = device_align_step(fa[0], la[0], fv[0], lv[0])
+    quals_b, vids_b, centers_b, margins_b = jax.jit(batched_match)(
+        fa, la, fv, lv)
+    q0, v0, c0, m0 = device_align_step(fa[0], la[0], fv[0], lv[0])
     np.testing.assert_allclose(np.asarray(quals_b)[0], np.asarray(q0),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(vids_b)[0], np.asarray(v0))
@@ -66,12 +67,14 @@ def test_batched_match_equals_single(small_batch):
 def test_sharded_match_equals_batched(small_batch):
     fa, la, fv, lv = small_batch
     mesh = make_mesh(N_DEV, axis='data')
-    quals_s, vids_s, centers_s = sharded_match(mesh, fa, la, fv, lv)
-    quals_b, vids_b, centers_b = batched_match(fa, la, fv, lv)
+    quals_s, vids_s, centers_s, margins_s = sharded_match(mesh, fa, la, fv, lv)
+    quals_b, vids_b, centers_b, margins_b = batched_match(fa, la, fv, lv)
     np.testing.assert_allclose(np.asarray(quals_s), np.asarray(quals_b),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(vids_s), np.asarray(vids_b))
     np.testing.assert_array_equal(np.asarray(centers_s), np.asarray(centers_b))
+    np.testing.assert_allclose(np.asarray(margins_s), np.asarray(margins_b),
+                               rtol=1e-5, atol=1e-6)
 
 def test_fine_kernel_matches_xla():
     """The fused Pallas fine-match kernel (interpret mode on CPU; the
@@ -95,8 +98,8 @@ def test_fine_kernel_matches_xla():
     fv = _stack_padded(fs_v, nv, npad)
     ms_a, norms_a = preprocess.preprocess_features(fa)
     ms_v, norms_v = preprocess.preprocess_features(fv)
-    quals, vids, centers = matching.match_pair(ms_a, norms_a, fa[0], na,
-                                               ms_v, norms_v, fv[0], nv)
+    quals, vids, centers, _ = matching.match_pair(
+        ms_a, norms_a, fa[0], na, ms_v, norms_v, fv[0], nv)
     # compare only the primary track's band (first TOP_K slots): the
     # kernel below runs a single band at the same starts
     quals = quals[:, :, :matching.TOP_K]
