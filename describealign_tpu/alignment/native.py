@@ -106,6 +106,7 @@ def native_lib():
             lib.continuity_filter_f64.restype = ctypes.c_int
             lib.round_decimals6_f64.restype = ctypes.c_int
             lib.pv_phase_lock.restype = ctypes.c_int
+            lib.pv_phase_lock_carry.restype = ctypes.c_int
             lib.resample_quad.restype = ctypes.c_int
             _LIB = lib
         except Exception:

@@ -932,6 +932,54 @@ int pv_phase_lock(const float* phase_a, const float* mag,
   return 0;
 }
 
+// Chunked variant of pv_phase_lock: processes EVERY frame of a block via
+// the recurrence, seeded with the previous block's last locked phases, so
+// the host PV can stream bounded-memory frame blocks instead of
+// materializing media-length (C, F, BINS) temporaries (the measured
+// memory-bound regime, PERF.md round 4).
+//   phase_a, mag:   (C, F, BINS) this block's analysis phases/magnitudes
+//   inst_over_rate: (C, F, BINS) - entry k is the increment from frame
+//                   k-1 (the carry frame for k=0)
+//   init_locked:    (C, BINS) locked phases of the frame before the block
+//   phases (out):   (C, F, BINS)
+// Identical arithmetic to pv_phase_lock's steady-state loop.
+int pv_phase_lock_carry(const float* phase_a, const float* mag,
+                        const float* inst_over_rate,
+                        const float* init_locked, int64_t c, int64_t f,
+                        int64_t bins, float* phases) {
+  if (f < 1 || bins < 2) return 1;
+  std::vector<float> rot(static_cast<size_t>(bins));
+  for (int64_t ch = 0; ch < c; ++ch) {
+    const float* pa = phase_a + ch * f * bins;
+    const float* mg = mag + ch * f * bins;
+    const float* io = inst_over_rate + ch * f * bins;
+    float* out = phases + ch * f * bins;
+    const float* prev = init_locked + ch * bins;
+    for (int64_t k = 0; k < f; ++k) {
+      const float* pak = pa + k * bins;
+      const float* mgk = mg + k * bins;
+      const float* iok = io + k * bins;
+      float* cur = out + k * bins;
+      for (int64_t b = 0; b < bins; ++b)
+        rot[static_cast<size_t>(b)] = prev[b] + iok[b] - pak[b];
+      for (int64_t b = 0; b < bins; ++b) {
+        const float m = mgk[b];
+        const float lm = b > 0 ? mgk[b - 1] : 0.f;
+        const float rm = b + 1 < bins ? mgk[b + 1] : 0.f;
+        float r = rot[static_cast<size_t>(b)];
+        if (lm > m && lm > rm) {
+          r = rot[static_cast<size_t>(b - 1)];
+        } else if (rm > m) {
+          r = rot[static_cast<size_t>(b + 1)];
+        }
+        cur[b] = pak[b] + r;
+      }
+      prev = cur;
+    }
+  }
+  return 0;
+}
+
 // Quadratic (3-point Lagrange) resampler - native twin of
 // stretch/resample.py::_resample_host (the reference's pitch-shifting
 // interpolation semantics, describealign.py:233-244/412-414: f64 sample

@@ -103,30 +103,51 @@ def _pv_segment(seg, rate, n_out, num_frames):
     return out / jnp.maximum(wsum, 1e-3)
 
 
-def _phase_lock(phase_a, mag, inst_over_rate):
+def _phase_lock(phase_a, mag, inst_over_rate, init_locked=None):
     """Locked synthesis phases (native C++; numpy fallback). The frame
-    recurrence is sequential because the locked phase is the carry."""
+    recurrence is sequential because the locked phase is the carry.
+
+    init_locked=None: whole-segment semantics (frame 0's phases pass
+    through; inst_over_rate is (C, F-1, BINS)). With init_locked (C, BINS):
+    chunked semantics - every frame runs the recurrence seeded by the
+    previous block's last locked phases, and inst_over_rate[k] is the
+    increment from frame k-1 (shape (C, F, BINS))."""
     import ctypes
 
     from ..alignment.native import native_lib
 
+    def f32p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
     c, f, bins = phase_a.shape
     lib = native_lib()
-    if lib is not None and hasattr(lib, 'pv_phase_lock'):
+    if lib is not None and hasattr(lib, 'pv_phase_lock_carry'):
         phases = np.empty_like(phase_a)
-        rc = lib.pv_phase_lock(
-            phase_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            mag.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            inst_over_rate.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.c_int64(c), ctypes.c_int64(f), ctypes.c_int64(bins),
-            phases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if init_locked is None:
+            rc = lib.pv_phase_lock(
+                f32p(phase_a), f32p(mag), f32p(inst_over_rate),
+                ctypes.c_int64(c), ctypes.c_int64(f), ctypes.c_int64(bins),
+                f32p(phases))
+        else:
+            init_locked = np.ascontiguousarray(init_locked, np.float32)
+            rc = lib.pv_phase_lock_carry(
+                f32p(phase_a), f32p(mag), f32p(inst_over_rate),
+                f32p(init_locked),
+                ctypes.c_int64(c), ctypes.c_int64(f), ctypes.c_int64(bins),
+                f32p(phases))
         if rc == 0:
             return phases
     phases = np.empty_like(phase_a)
-    phases[:, 0] = phase_a[:, 0]
-    prev_locked = phase_a[:, 0].copy()
-    for k in range(1, f):
-        rot = prev_locked + inst_over_rate[:, k - 1] - phase_a[:, k]
+    if init_locked is None:
+        phases[:, 0] = phase_a[:, 0]
+        prev_locked = phase_a[:, 0].copy()
+        k0 = 1
+    else:
+        prev_locked = np.asarray(init_locked, np.float32)
+        k0 = 0
+    for k in range(k0, f):
+        iors = inst_over_rate[:, k - k0]
+        rot = prev_locked + iors - phase_a[:, k]
         m = mag[:, k]
         left_m = np.roll(m, 1, axis=1)
         left_m[:, 0] = 0
@@ -141,62 +162,92 @@ def _phase_lock(phase_a, mag, inst_over_rate):
     return phases
 
 
+# frames per streamed block of the host PV: the spectral working set is
+# ~9 arrays x (C, BLKF, N_FFT) f32 = ~70 MB at stereo/2048, vs GBs for
+# media-length segments materialized whole (a 22-min all-stretched segment
+# is ~230k frames; the unchunked pipeline streamed >15 GB of temporaries
+# through DRAM and was memory-bound, PERF.md round 4/5)
+_HOST_BLK_FRAMES = 2048
+
+
 def _pv_host(seg, rate, num_out):
-    """Host phase vocoder: the same math as _pv_segment, fully vectorized
-    numpy/scipy (the phase recurrence is a plain cumsum over frames, and
-    phase locking is pointwise - no sequential loop needed). Exists for the
-    link-aware path: stretched segments are full-length f32 PCM, so on a
-    slow tunneled link the device round-trip costs far more than the FFTs
-    do on the host."""
+    """Host phase vocoder: the same math as _pv_segment, vectorized
+    numpy/scipy over bounded frame blocks (the locked phase carries across
+    blocks, so block boundaries are exact - identical arithmetic to the
+    whole-segment pipeline; only the overlap-add's FP accumulation order
+    differs at block seams, inside the final f16 write-back grid). Exists
+    for the link-aware path: stretched segments are full-length f32 PCM,
+    so on a slow tunneled link the device round-trip costs far more than
+    the FFTs do on the host."""
     import scipy.fft
 
     c, n_in = seg.shape
     f = -(-num_out // HOP_SYN)                      # frames with k*HOP < out
     pad = np.zeros((c, n_in + N_FFT + 8), np.float32)
     pad[:, :n_in] = seg
-    k = np.arange(f)
-    pos = np.clip(np.round(k * (HOP_SYN * rate)).astype(np.int64), 0,
-                  pad.shape[1] - N_FFT - 1)
     # row-gather through a sliding-window view copies contiguous frames
     # (4 KB memcpy each) instead of the elementwise 2-D fancy-index
     # gather - measured 4x faster at media scale
     sw = np.lib.stride_tricks.sliding_window_view(pad, N_FFT, axis=1)
-    frames = np.empty((c, f, N_FFT), np.float32)
-    for ch in range(c):
-        np.multiply(sw[ch][pos], _WINDOW[None, :], out=frames[ch])
-    spec = scipy.fft.rfft(frames, axis=2)           # (C, F, BINS) complex64
-
     omega = (2 * np.pi * np.arange(_BINS) * HOP_SYN / N_FFT).astype(np.float32)
-    # sqrt(re^2+im^2) skips complex abs's overflow-safe hypot (values are
-    # bounded by N_FFT * PCM amplitude, far inside f32 range)
-    re, im = spec.real, spec.imag
-    mag = np.sqrt(re * re + im * im, dtype=np.float32)
-    phase_a = np.arctan2(im, re).astype(np.float32)
-    # all-frames phase increments are vectorized; the frame recurrence stays
-    # a loop because the LOCKED phase is what carries forward (identity
-    # phase locking with dominant-neighbor rotations, as in _pv_segment)
-    dphi = phase_a[:, 1:] - phase_a[:, :-1] - omega[None, None, :] * rate
-    dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
-    inst_over_rate = np.ascontiguousarray(
-        (omega[None, None, :] * rate + dphi) / rate, np.float32)
-    phases = _phase_lock(np.ascontiguousarray(phase_a),
-                         np.ascontiguousarray(mag), inst_over_rate)
-    # stay in single precision: 1j*phases would promote to complex128
-    spec_out = np.empty(phases.shape, np.complex64)
-    np.multiply(mag, np.cos(phases), out=spec_out.real)
-    np.multiply(mag, np.sin(phases), out=spec_out.imag)
-    frames_out = scipy.fft.irfft(spec_out, n=N_FFT, axis=2)  # f32 already
-    np.multiply(frames_out, _WINDOW[None, None, :], out=frames_out)
+    omega_rate = omega[None, None, :] * rate
 
     out_len = f * HOP_SYN + N_FFT
     out = np.zeros((c, out_len), np.float32)
     wsum = np.zeros(out_len, np.float32)
     w2 = (_WINDOW * _WINDOW).astype(np.float32)
-    for g in range(N_FFT // HOP_SYN):               # 4 shifted group adds
-        lo = g * HOP_SYN
-        out[:, lo:lo + f * HOP_SYN] += \
-            frames_out[:, :, lo:lo + HOP_SYN].reshape(c, f * HOP_SYN)
-        wsum[lo:lo + f * HOP_SYN] += np.tile(w2[lo:lo + HOP_SYN], f)
+
+    prev_phase_a = None                 # (C, 1, BINS) last frame of block
+    prev_locked = None                  # (C, BINS) carried locked phases
+    for b0 in range(0, f, _HOST_BLK_FRAMES):
+        b1 = min(b0 + _HOST_BLK_FRAMES, f)
+        fb = b1 - b0
+        k = np.arange(b0, b1)
+        pos = np.clip(np.round(k * (HOP_SYN * rate)).astype(np.int64), 0,
+                      pad.shape[1] - N_FFT - 1)
+        frames = np.empty((c, fb, N_FFT), np.float32)
+        for ch in range(c):
+            np.multiply(sw[ch][pos], _WINDOW[None, :], out=frames[ch])
+        spec = scipy.fft.rfft(frames, axis=2)       # (C, fb, BINS) complex64
+        # sqrt(re^2+im^2) skips complex abs's overflow-safe hypot (values
+        # are bounded by N_FFT * PCM amplitude, far inside f32 range)
+        re, im = spec.real, spec.imag
+        mag = np.ascontiguousarray(
+            np.sqrt(re * re + im * im, dtype=np.float32))
+        phase_a = np.ascontiguousarray(np.arctan2(im, re).astype(np.float32))
+        # all-frames phase increments are vectorized; the frame recurrence
+        # stays a loop because the LOCKED phase is what carries forward
+        # (identity phase locking with dominant-neighbor rotations, as in
+        # _pv_segment)
+        if b0 == 0:
+            dphi = phase_a[:, 1:] - phase_a[:, :-1] - omega_rate
+            dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+            inst_over_rate = np.ascontiguousarray(
+                (omega_rate + dphi) / rate, np.float32)
+            phases = _phase_lock(phase_a, mag, inst_over_rate)
+        else:
+            pa_ext = np.concatenate([prev_phase_a, phase_a], axis=1)
+            dphi = pa_ext[:, 1:] - pa_ext[:, :-1] - omega_rate
+            dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+            inst_over_rate = np.ascontiguousarray(
+                (omega_rate + dphi) / rate, np.float32)
+            phases = _phase_lock(phase_a, mag, inst_over_rate, prev_locked)
+        prev_phase_a = phase_a[:, -1:].copy()
+        prev_locked = phases[:, -1].copy()
+        # stay in single precision: 1j*phases would promote to complex128
+        spec_out = np.empty(phases.shape, np.complex64)
+        np.multiply(mag, np.cos(phases), out=spec_out.real)
+        np.multiply(mag, np.sin(phases), out=spec_out.imag)
+        frames_out = scipy.fft.irfft(spec_out, n=N_FFT, axis=2)  # f32
+        np.multiply(frames_out, _WINDOW[None, None, :], out=frames_out)
+
+        base = b0 * HOP_SYN
+        for g in range(N_FFT // HOP_SYN):           # 4 shifted group adds
+            lo = g * HOP_SYN
+            out[:, base + lo:base + lo + fb * HOP_SYN] += \
+                frames_out[:, :, lo:lo + HOP_SYN].reshape(c, fb * HOP_SYN)
+            wsum[base + lo:base + lo + fb * HOP_SYN] += \
+                np.tile(w2[lo:lo + HOP_SYN], fb)
     return out[:, :num_out] / np.maximum(wsum[None, :num_out], 1e-3)
 
 

@@ -63,6 +63,45 @@ def test_pv_multichannel_and_chunk_joins():
         assert np.sqrt(np.mean(seg ** 2)) > 500
 
 
+def test_pv_host_chunked_matches_whole_segment(monkeypatch):
+    """The streamed host PV (bounded _HOST_BLK_FRAMES blocks with
+    locked-phase carry-over, round 5) is arithmetic-identical to the
+    whole-segment pipeline frame by frame; only the overlap-add's FP
+    accumulation ORDER differs at block seams, so outputs agree to
+    rounding scale."""
+    from describealign_tpu.stretch import phase_vocoder as pv
+    rng = np.random.default_rng(7)
+    n = int(SR * 30.0)
+    sig = (np.stack([rng.standard_normal(n), rng.standard_normal(n)])
+           .astype(np.float32) * 2500)
+    num_out = int(n / 1.04)
+    rate = n / num_out
+    f = -(-num_out // pv.HOP_SYN)
+    assert f > 2 * pv._HOST_BLK_FRAMES  # spans >= 3 carry blocks
+    got = pv._pv_host(sig, rate, num_out)
+    monkeypatch.setattr(pv, '_HOST_BLK_FRAMES', 1 << 30)
+    want = pv._pv_host(sig, rate, num_out)
+    assert got.shape == want.shape == (2, num_out)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0.5)
+
+
+def test_phase_lock_carry_native_matches_numpy(monkeypatch):
+    """pv_phase_lock_carry (C++) and the numpy fallback's seeded
+    recurrence compute the same locked phases."""
+    from describealign_tpu.stretch import phase_vocoder as pv
+    from describealign_tpu.alignment import native as native_mod
+    rng = np.random.default_rng(11)
+    c, f, bins = 2, 9, 33
+    phase_a = rng.uniform(-np.pi, np.pi, (c, f, bins)).astype(np.float32)
+    mag = rng.uniform(0.0, 10.0, (c, f, bins)).astype(np.float32)
+    ior = rng.uniform(-1.0, 1.0, (c, f, bins)).astype(np.float32)
+    init = rng.uniform(-np.pi, np.pi, (c, bins)).astype(np.float32)
+    got = pv._phase_lock(phase_a, mag, ior, init)
+    monkeypatch.setattr(native_mod, 'native_lib', lambda: None)
+    want = pv._phase_lock(phase_a, mag, ior, init)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
 def test_wsola_preserves_pitch_and_samples():
     """The reference-parity splicer: pitch unchanged, content is literal
     copies of input spans (no resampling artifacts)."""
