@@ -96,6 +96,33 @@ def draw_scenario(rng, seed, profile="default"):
         lead = float(rng.uniform(3.0, 30.0))
         n_skips = int(rng.integers(0, 5))
         durs_hi = 8.0
+    elif profile == "short":
+        # <2-min media hugging the reference's minimum-path floor
+        # (max(min(frames)/500, 5*210 frames = 5 s), describealign.py:698):
+        # the survivable path is a large fraction of the floor, so a few
+        # dropped anchors flip success into the path-length raise
+        content_s = float(rng.uniform(25, 95))
+        lead = float(rng.uniform(1.0, 8.0))
+        n_skips = int(rng.integers(0, 3))
+        durs_hi = 6.0
+    elif profile == "stereo":
+        # stretch-mode channel regime (reference combine reads BOTH sides
+        # 2-channel, describealign.py:1096): genuine stereo video
+        # (decorrelated channels) vs a mono description the decoder
+        # duplicates into both channels - per-channel energy/ZCR sums and
+        # channel-mean bands shift asymmetrically between the sides
+        content_s = float(rng.uniform(90, 200))
+        lead = float(rng.uniform(3.0, 30.0))
+        n_skips = int(rng.integers(0, 5))
+        durs_hi = 8.0
+    elif profile == "dcrate":
+        # DC offset AND rate change combined (a cheap-recorder PAL
+        # transfer): the clipped profile's one-sided DC and the rate
+        # profile's drift both pass alone; this probes their intersection
+        content_s = float(rng.uniform(120, 240))
+        lead = float(rng.uniform(3.0, 40.0))
+        n_skips = int(rng.integers(0, 6))
+        durs_hi = 10.0
     else:
         content_s = float(rng.uniform(60, 150))
         lead = float(rng.uniform(3.0, 25.0))
@@ -107,6 +134,8 @@ def draw_scenario(rng, seed, profile="default"):
     rate = 1.0
     if profile == "rate":
         rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.035, 0.06))
+    elif profile == "dcrate":
+        rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.01, 0.06))
     elif profile == "gauntlet":
         if rng.uniform() < 0.75:
             rate = 1.0 + float(rng.choice([-1, 1])) * float(rng.uniform(0.01, 0.06))
@@ -184,10 +213,25 @@ def draw_scenario(rng, seed, profile="default"):
         audio_sig = sosfilt(sos, audio_sig)
         bed = ("" if bed == "none" else bed + "+") + \
             f"bandpass({f_lo:.0f}-{f_hi:.0f}Hz)"
+    elif profile == "dcrate":
+        dc = float(rng.choice([-1, 1])) * float(rng.uniform(300.0, 1500.0))
+        audio_sig = audio_sig + dc
+        bed = ("" if bed == "none" else bed + "+") + f"dc({dc:+.0f})"
+    elif profile == "stereo":
+        # stereo image: the right channel keeps the same timing (a
+        # sub-ms 7-sample comb delay + level difference + independent
+        # room noise), so the planted ground-truth map is unchanged
+        rng2 = np.random.default_rng(seed + 700)
+        right = (0.82 * video_sig
+                 + 0.18 * np.roll(video_sig, 7)
+                 + 120.0 * rng2.standard_normal(len(video_sig)))
+        video_sig = np.stack([video_sig, right])
+        audio_sig = np.stack([audio_sig, audio_sig])  # decoder-duplicated
+        bed = ("" if bed == "none" else bed + "+") + "stereo(video)"
 
     def q(sig):
-        return np.clip(np.round(sig), -32768, 32767).astype(
-            np.int16)[None].astype(np.float16)
+        return np.clip(np.round(np.atleast_2d(sig)), -32768,
+                       32767).astype(np.int16).astype(np.float16)
 
     meta = dict(content_s=content_s, lead=lead, cuts=list(np.round(cuts, 2)),
                 durs=list(np.round(durs, 2)), rate=rate, bed=bed)
