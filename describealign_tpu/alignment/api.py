@@ -311,14 +311,80 @@ def align_batch_from_pcm(pairs, fit_backend=None, device_depth=4,
         return [f.result() for f in futs]
 
 
+_async_pull_ok = None
+
+
+def _async_host_copy(arr):
+    """Start the D2H transfer for a device array without blocking; the
+    later np.asarray() then finds the bytes already (or partially) on the
+    host. No-op where the backend lacks the hook - and explicitly skipped
+    on the tunneled 'axon' platform, where copy_to_host_async returns
+    instantly but derails the subsequent np.asarray into a minutes-long
+    stall (measured 200 s vs 36 ms for the same 1 KB slice; the transfer
+    manager appears to restart the pull from scratch). Override with
+    DESCRIBEALIGN_ASYNC_PULL=1/0."""
+    global _async_pull_ok
+    if _async_pull_ok is None:
+        env = os.environ.get('DESCRIBEALIGN_ASYNC_PULL', '')
+        if env:
+            _async_pull_ok = env != '0'
+        else:
+            try:
+                _async_pull_ok = jax.default_backend() != 'axon'
+            except Exception:
+                _async_pull_ok = False
+    if not _async_pull_ok:
+        return
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
+
+
+def _use_whole_pull():
+    """Batch compact-transport pull mode. 'whole' (default) pulls the
+    entire compact buffer in ONE D2H: more bytes (live_max padding,
+    ~8.2 vs ~5.3 MB at the 27-min bucket) but one round trip and no
+    second slice program - the occupancy-exact live slice otherwise
+    queues behind the OTHER in-flight pairs' matcher programs on the
+    single device stream (measured 0.3-0.5 s extra latency per pair at
+    device_depth 4, scripts/profile_batch.py round 5). Bandwidth is
+    pipelined across pairs, so batch throughput prefers fewer/earlier
+    round trips over fewer bytes; DESCRIBEALIGN_BATCH_PULL=exact restores
+    the two-phase occupancy-exact pull (better on very slow links)."""
+    return os.environ.get('DESCRIBEALIGN_BATCH_PULL', 'whole') != 'exact'
+
+
+def _prefetch_fixed(compact_dev, nb, n_tracks):
+    """Enqueue the compact transport's fixed-region slice right behind the
+    pair's matcher program and start its D2H copy immediately (from the
+    DISPATCH thread). By the time a pull worker picks the pair up, the
+    counts+starts bytes are typically already host-side - the same bytes
+    the consumer reads first, so the prefetch costs nothing extra."""
+    lay = matching.compact_layout(nb, n_tracks)
+    fixed_dev = compact_dev[:lay['fixed_end']]
+    _async_host_copy(fixed_dev)
+    return fixed_dev
+
+
 def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                           device_depth=4):
-    """Batch via the streaming matcher: the main thread extracts features
-    and dispatches pair i+1's device work while worker threads consume
-    pair i's chunks (D2H pulls, the C++ LIS, and the refinement tail all
-    release the GIL, so a single-core host still overlaps its CPU work
-    with the link and the device). In-flight pairs are bounded by
-    device_depth (+1 being consumed) to cap HBM and host memory.
+    """Batch via the streaming matcher, pipelined in three stages:
+
+    - the MAIN thread extracts features (CPU), uploads, and dispatches
+      pair i's device programs, then immediately moves to pair i+1;
+    - a small PULL pool owns the link: it pulls each pair's result
+      buffer(s) off the device (D2H releases the GIL) and releases the
+      pair's in-flight slot as soon as the bytes are host-side;
+    - the HOST pool runs the CPU stages (C++ LIS feed + refinement tail)
+      on the pulled bytes, bounded by the core-count token.
+
+    Splitting pull from CPU keeps link waits from occupying a CPU
+    worker: during the drain (after the last dispatch) the remaining
+    pairs' transfers proceed concurrently with the LIS/tail of earlier
+    pairs instead of queueing behind them (profile_batch.py timeline,
+    PERF.md round 5). In-flight device buffers stay bounded by
+    device_depth (+1 being pulled).
 
     Unlike the latency-oriented single-pair path (which pulls chunks as
     they finish so the LIS can start early), throughput mode concatenates
@@ -335,8 +401,15 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     in_flight = threading.Semaphore(max(2, device_depth + 1))
     use_compact = _use_compact()
     use_fused = _use_fused_batch()
+    whole_pull = _use_whole_pull()
 
-    def _consume_dense(combo_dev, n_tracks, fa, fv, na, nv):
+    def cpu_dense(packed, starts_tracks, margin, fa, fv, na, nv):
+        with _host_token():
+            y, x = _consume_stream(iter([packed]), starts_tracks)
+            return _host_stages_from_path(y, x, fa, fv, na, nv,
+                                          fit_backend, True, margin=margin)
+
+    def _pull_dense_parts(combo_dev, n_tracks):
         # one pull per pair: the trailing int16 words per row are the
         # margin f16 word + pad, then 2*T bitcast band starts
         # (match_pair_combo / concat_chunks_with_starts)
@@ -348,29 +421,50 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
         # leading-columns VIEW: the strided native feed reads the
         # packed rows in place (no second media-scale copy)
         packed = buf[:, :-(w_st + 2)]
+        return packed, starts_tracks, margin
+
+    def pull_dense(cpu_pool, combo_dev, n_tracks, fa, fv, na, nv):
+        try:
+            packed, starts_tracks, margin = _pull_dense_parts(combo_dev,
+                                                              n_tracks)
+        finally:
+            in_flight.release()
+        return cpu_pool.submit(cpu_dense, packed, starts_tracks, margin,
+                               fa, fv, na, nv)
+
+    def cpu_compact(ctx, counts, live, sec, starts_grouped, margin,
+                    fa, fv, na, nv):
         with _host_token():
-            y, x = _consume_stream(iter([packed]), starts_tracks)
+            with ctx:
+                ctx.feed_compact(
+                    counts,
+                    live[slice(*sec['codes1'])], live[slice(*sec['lo1'])],
+                    live[slice(*sec['hi1'])],
+                    live[slice(*sec['codes2'])], live[slice(*sec['lo2'])],
+                    live[slice(*sec['hi2'])],
+                    starts_grouped, blk=210)
+                y, x = ctx.finish()
             return _host_stages_from_path(y, x, fa, fv, na, nv,
                                           fit_backend, True, margin=margin)
 
-    def consume(combo_dev, n_tracks, fa, fv, na, nv):
-        try:
-            return _consume_dense(combo_dev, n_tracks, fa, fv, na, nv)
-        finally:
-            in_flight.release()
-
-    def consume_compact(compact_dev, dense_dispatch, n_tracks, nb, fa, fv,
-                        na, nv):
-        """Compact-transport consumer: pulls the fixed counts+starts
-        region, recomputes the exact live-plane sizes from the counts,
-        then pulls just the occupied live bytes (quantized to
+    def pull_compact(cpu_pool, fixed_dev, compact_dev, dense_dispatch,
+                     n_tracks, nb, fa, fv, na, nv):
+        """Pull stage for the compact transport: reads the (prefetched)
+        fixed counts+starts region, recomputes the exact live-plane sizes
+        from the counts, pulls just the occupied live bytes (quantized to
         lay['step'] so the eager slice programs stay bounded per shape
-        bucket). Transfers are occupancy-exact with no budget to
-        overflow; the dense fallback via dense_dispatch() remains only
-        for an LIS frontier-cap miss."""
+        bucket), then chains the CPU stage. Transfers are occupancy-exact
+        with no budget to overflow; the dense fallback via
+        dense_dispatch() remains only for an LIS frontier-cap miss and
+        runs while the in-flight slot still bounds the device buffers."""
         try:
             lay = matching.compact_layout(nb, n_tracks)
-            fixed = np.asarray(compact_dev[:lay['fixed_end']])
+            if fixed_dev is None:            # whole-buffer mode: ONE pull
+                buf = np.asarray(compact_dev)
+                fixed = buf[:lay['fixed_end']]
+            else:
+                buf = None
+                fixed = np.asarray(fixed_dev)
             margin = matching.margin_from_code(fixed[1])
             counts = fixed[slice(*lay['counts'])]
             st = np.ascontiguousarray(
@@ -385,32 +479,28 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                     ctx = None
             if ctx is None:
                 # frontier cap miss: dense fallback (rare)
-                return _consume_dense(*dense_dispatch(), fa, fv, na, nv)
+                packed, starts_tracks, margin = _pull_dense_parts(
+                    *dense_dispatch())
+                return cpu_pool.submit(cpu_dense, packed, starts_tracks,
+                                       margin, fa, fv, na, nv)
             t1 = int(np.sum(counts & 15, dtype=np.int64))
             t2 = int(np.sum(counts >> 4, dtype=np.int64))
             sec = matching.compact2_live_offsets(t1, t2)
             p0 = lay['live']
             q = min(lay['live_max'],
                     -(-sec['total'] // lay['step']) * lay['step'])
-            live = np.asarray(compact_dev[p0:p0 + q])
-            with _host_token():
-                with ctx:
-                    ctx.feed_compact(
-                        counts,
-                        live[slice(*sec['codes1'])], live[slice(*sec['lo1'])],
-                        live[slice(*sec['hi1'])],
-                        live[slice(*sec['codes2'])], live[slice(*sec['lo2'])],
-                        live[slice(*sec['hi2'])],
-                        starts_grouped, blk=210)
-                    y, x = ctx.finish()
-                return _host_stages_from_path(y, x, fa, fv, na, nv,
-                                              fit_backend, True,
-                                              margin=margin)
+            if buf is not None:
+                live = buf[p0:p0 + q]        # host view, no second pull
+            else:
+                live = np.asarray(compact_dev[p0:p0 + q])
         finally:
             in_flight.release()
+        return cpu_pool.submit(cpu_compact, ctx, counts, live, sec,
+                               starts_grouped, margin, fa, fv, na, nv)
 
     futs = []
-    with ThreadPoolExecutor(max_workers=host_workers) as pool:
+    with ThreadPoolExecutor(max_workers=host_workers) as cpu_pool, \
+         ThreadPoolExecutor(max_workers=_pull_threads()) as pull_pool:
         for i in range(b):
             v, a = pairs[i]
             sv, sa = true_samples[i]
@@ -438,8 +528,11 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                     if use_compact:
                         compact_dev = matching.match_pair_compact(
                             dev_av, na, nv)
-                        futs.append((i, pool.submit(
-                            consume_compact, compact_dev,
+                        fixed_dev = (None if whole_pull else
+                                     _prefetch_fixed(compact_dev, nb,
+                                                     matching.N_TRACKS))
+                        futs.append((i, pull_pool.submit(
+                            pull_compact, cpu_pool, fixed_dev, compact_dev,
                             (lambda d=dev_av, a_=na, v_=nv:
                              (matching.match_pair_combo(d, a_, v_),
                               matching.N_TRACKS)),
@@ -447,17 +540,20 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                     else:
                         combo_dev = matching.match_pair_combo(dev_av,
                                                               na, nv)
-                        futs.append((i, pool.submit(
-                            consume, combo_dev, matching.N_TRACKS,
-                            fa, fv, na, nv)))
+                        _async_host_copy(combo_dev)
+                        futs.append((i, pull_pool.submit(
+                            pull_dense, cpu_pool, combo_dev,
+                            matching.N_TRACKS, fa, fv, na, nv)))
                     continue
                 chunks, starts_dev, _, margin_dev = \
                     matching.match_stream_pair(dev_av, na, nv)
                 if use_compact and starts_dev.shape[0] == 2:
                     compact_dev = matching.concat_chunks_compact(
                         chunks, starts_dev, margin_dev)
-                    futs.append((i, pool.submit(
-                        consume_compact, compact_dev,
+                    fixed_dev = (None if whole_pull else
+                                 _prefetch_fixed(compact_dev, nb, 2))
+                    futs.append((i, pull_pool.submit(
+                        pull_compact, cpu_pool, fixed_dev, compact_dev,
                         (lambda ch=chunks, sd=starts_dev, md=margin_dev:
                          (matching.concat_chunks_with_starts(ch, sd, md),
                           sd.shape[0])),
@@ -465,18 +561,19 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
                         chunks, starts_dev, margin_dev)
-                    futs.append((i, pool.submit(consume, combo_dev,
-                                                starts_dev.shape[0],
-                                                fa, fv, na, nv)))
+                    _async_host_copy(combo_dev)
+                    futs.append((i, pull_pool.submit(
+                        pull_dense, cpu_pool, combo_dev,
+                        starts_dev.shape[0], fa, fv, na, nv)))
             except BaseException:
                 # a failing dispatch must not leak its semaphore slot;
-                # in-flight consumes finish (and release theirs) during the
-                # pool's shutdown. Like the non-streamed path, the first
+                # in-flight pulls finish (and release theirs) during the
+                # pools' shutdown. Like the non-streamed path, the first
                 # error aborts the batch.
                 in_flight.release()
                 raise
         for i, f in futs:
-            results[i] = f.result()
+            results[i] = f.result().result()
     return results
 
 

@@ -50,8 +50,20 @@ def main():
         events.clear()
         results = [None] * b
         in_flight = threading.Semaphore(max(2, device_depth + 1))
+        from describealign_tpu.alignment import lis
 
-        def consume(combo_dev, w_st, fa, fv, na, nv, i):
+        def cpu_dense(packed, starts, fa, fv, na, nv, i):
+            t0, c0 = time.time(), time.thread_time()
+            with api._host_token():
+                t0, c0 = ev('token', i, t0, c0)
+                y, x = api._consume_stream(iter([packed]), starts)
+                t0, c0 = ev('lis', i, t0, c0)
+                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                               'native', True)
+            ev('tail', i, t0, c0)
+            return r
+
+        def pull_dense(cpu_pool, combo_dev, w_st, fa, fv, na, nv, i):
             try:
                 t0, c0 = time.time(), time.thread_time()
                 buf = np.asarray(combo_dev)
@@ -60,64 +72,70 @@ def main():
                     buf[:, -w_st:]).view(np.int32).T
                 # margin words (2) sit between the packed rows and starts
                 packed = buf[:, :-(w_st + 2)]    # strided in-place feed
-                with api._host_token():
-                    t0, c0 = ev('token', i, t0, c0)
-                    y, x = api._consume_stream(iter([packed]), starts)
-                    t0, c0 = ev('lis', i, t0, c0)
-                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
-                                                   'native', True)
-                ev('tail', i, t0, c0)
-                return r
             finally:
                 in_flight.release()
+            return cpu_pool.submit(cpu_dense, packed, starts,
+                                   fa, fv, na, nv, i)
 
-        def consume_compact(compact_dev, chunks, starts_dev, nb,
-                            fa, fv, na, nv, i):
-            from describealign_tpu.alignment import lis
+        def cpu_compact(ctx, counts, live, sec, sg, fa, fv, na, nv, i):
+            t0, c0 = time.time(), time.thread_time()
+            with api._host_token():
+                t0, c0 = ev('token', i, t0, c0)
+                with ctx:
+                    ctx.feed_compact(
+                        counts,
+                        live[slice(*sec['codes1'])],
+                        live[slice(*sec['lo1'])],
+                        live[slice(*sec['hi1'])],
+                        live[slice(*sec['codes2'])],
+                        live[slice(*sec['lo2'])],
+                        live[slice(*sec['hi2'])],
+                        sg, blk=210)
+                    y, x = ctx.finish()
+                t0, c0 = ev('lis', i, t0, c0)
+                r = api._host_stages_from_path(y, x, fa, fv, na, nv,
+                                               'native', True)
+            ev('tail', i, t0, c0)
+            return r
+
+        def pull_compact(cpu_pool, fixed_dev, compact_dev, nb, n_tracks,
+                         fa, fv, na, nv, i):
             try:
                 t0, c0 = time.time(), time.thread_time()
-                lay = matching.compact_layout(nb, starts_dev.shape[0])
-                fixed = np.asarray(compact_dev[:lay['fixed_end']])
+                lay = matching.compact_layout(nb, n_tracks)
+                if fixed_dev is None:
+                    buf = np.asarray(compact_dev)
+                    fixed = buf[:lay['fixed_end']]
+                else:
+                    buf = None
+                    fixed = np.asarray(fixed_dev)
                 t0, c0 = ev('pull_fixed', i, t0, c0)
                 counts = fixed[slice(*lay['counts'])]
                 st = np.ascontiguousarray(
                     fixed[slice(*lay['starts'])]).view(np.int32).reshape(
                         nb, -1)
                 sg = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
+                ctx = lis.LisStream(int(sg.max()) + 32768)
                 t1 = int(np.sum(counts & 15, dtype=np.int64))
                 t2 = int(np.sum(counts >> 4, dtype=np.int64))
                 sec = matching.compact2_live_offsets(t1, t2)
                 p0 = lay['live']
                 q = min(lay['live_max'],
                         -(-sec['total'] // lay['step']) * lay['step'])
-                live = np.asarray(compact_dev[p0:p0 + q])
+                live = (buf[p0:p0 + q] if buf is not None
+                        else np.asarray(compact_dev[p0:p0 + q]))
                 t0, c0 = ev('pull_live', i, t0, c0)
-                with api._host_token():
-                    t0, c0 = ev('token', i, t0, c0)
-                    with lis.LisStream(int(sg.max()) + 32768) as ctx:
-                        ctx.feed_compact(
-                            counts,
-                            live[slice(*sec['codes1'])],
-                            live[slice(*sec['lo1'])],
-                            live[slice(*sec['hi1'])],
-                            live[slice(*sec['codes2'])],
-                            live[slice(*sec['lo2'])],
-                            live[slice(*sec['hi2'])],
-                            sg, blk=210)
-                        y, x = ctx.finish()
-                    t0, c0 = ev('lis', i, t0, c0)
-                    r = api._host_stages_from_path(y, x, fa, fv, na, nv,
-                                                   'native', True)
-                ev('tail', i, t0, c0)
-                return r
             finally:
                 in_flight.release()
+            return cpu_pool.submit(cpu_compact, ctx, counts, live, sec,
+                                   sg, fa, fv, na, nv, i)
 
         t_start = time.time()
         c_start = time.process_time()
         wall0[0] = t_start
         futs = []
-        with ThreadPoolExecutor(max_workers=host_workers) as pool:
+        with ThreadPoolExecutor(max_workers=host_workers) as cpu_pool, \
+             ThreadPoolExecutor(max_workers=api._pull_threads()) as pull_pool:
             for i in range(b):
                 v, a = pairs[i]
                 sv, sa = lens[i]
@@ -142,19 +160,24 @@ def main():
                 if use_compact:
                     compact_dev = matching.concat_chunks_compact(
                         chunks, starts_dev, margin_dev)
+                    nb = matching.nb_for(npad)
+                    fixed_dev = (None if api._use_whole_pull() else
+                                 api._prefetch_fixed(compact_dev, nb,
+                                                     starts_dev.shape[0]))
                     t0, c0 = ev('dispatch', i, t0, c0)
-                    futs.append((i, pool.submit(
-                        consume_compact, compact_dev, chunks, starts_dev,
-                        matching.nb_for(npad), fa, fv, na, nv, i)))
+                    futs.append((i, pull_pool.submit(
+                        pull_compact, cpu_pool, fixed_dev, compact_dev,
+                        nb, starts_dev.shape[0], fa, fv, na, nv, i)))
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
                         chunks, starts_dev, margin_dev)
+                    api._async_host_copy(combo_dev)
                     t0, c0 = ev('dispatch', i, t0, c0)
-                    futs.append((i, pool.submit(consume, combo_dev,
-                                                2 * starts_dev.shape[0],
-                                                fa, fv, na, nv, i)))
+                    futs.append((i, pull_pool.submit(
+                        pull_dense, cpu_pool, combo_dev,
+                        2 * starts_dev.shape[0], fa, fv, na, nv, i)))
             for i, f in futs:
-                results[i] = f.result()
+                results[i] = f.result().result()
         wall = time.time() - t_start
         cpu = time.process_time() - c_start
         return wall, cpu
