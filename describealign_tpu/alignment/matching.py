@@ -47,6 +47,12 @@ COARSE_PER_BLOCK = BLOCK // COARSE_STRIDE  # 10
 FINE_HALF_BAND = 279        # +/- band around coarse track (1.33 s)
 FINE_W = BLOCK + 2 * FINE_HALF_BAND        # 768 video window positions/block
 TOP_K = 8                   # candidates kept per audio frame
+# Feature streams in the coarse descriptors. The fine-pass gates are
+# reference-parity (first 3 features, Naive Bayes, describealign.py:665-
+# 672); the coarse stage is our own design and uses however many streams
+# score best. Experiment toggle; see COARSE_STREAMS below.
+_COARSE_STREAMS_ENV = os.environ.get('DESCRIBEALIGN_COARSE_STREAMS', '')
+COARSE_STREAMS = int(_COARSE_STREAMS_ENV) if _COARSE_STREAMS_ENV else 3
 
 # --- quality / DP constants -------------------------------------------------
 QUAL_PROB_CUTOFF = 1e-8     # reference 670
@@ -124,20 +130,23 @@ SUB_LANE_SHIFTS = (0, 3, 6, 9, 12, 15, 18)
 def _coarse_descriptors(ms, norms, mask, phase=0):
     """Normalized, masked window descriptors at COARSE_STRIDE (+ phase).
 
-    ms, norms: (3, N) f32; mask: (N,) bool (anchor eligibility).
-    Returns (K, 128) f32 with zero rows for invalid anchors. K is
+    ms, norms: (F, N) f32 (F = 3 or 5 streams); mask: (N,) bool (anchor
+    eligibility). Returns (K, 128*ceil(F*41/128)) f32 with zero rows for
+    invalid anchors (lane-width padding keeps the MXU tiling exact). K is
     independent of `phase` so shifted copies share one shape.
     """
+    f = ms.shape[0]
     n = ms.shape[1]
     k = (n - WINDOW - max(SUB_LANE_SHIFTS)) // COARSE_STRIDE + 1
     starts = np.arange(k) * COARSE_STRIDE + phase
     idx = starts[:, None] + np.arange(WINDOW)[None, :]          # (K, 41)
-    win = ms[:, idx]                                            # (3, K, 41)
-    nrm = norms[:, starts]                                      # (3, K)
+    win = ms[:, idx]                                            # (F, K, 41)
+    nrm = norms[:, starts]                                      # (F, K)
     desc = win / nrm[:, :, None]
     desc = desc * mask[starts][None, :, None]
-    desc = jnp.moveaxis(desc, 0, 1).reshape(k, 3 * WINDOW)      # (K, 123)
-    return jnp.pad(desc, ((0, 0), (0, 128 - 3 * WINDOW)))
+    desc = jnp.moveaxis(desc, 0, 1).reshape(k, f * WINDOW)      # (K, F*41)
+    width = -(-(f * WINDOW) // 128) * 128
+    return jnp.pad(desc, ((0, 0), (0, width - f * WINDOW)))
 
 
 COARSE_CHUNK = 64  # blocks per lax.map step (MXU-sized matmuls, large DMAs)
@@ -1087,8 +1096,9 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
     a_mask = valid_audio_mask(energy_a, len_a)
     v_mask = valid_video_mask(energy_v, len_v)
 
-    desc_a = _coarse_descriptors(feats_a[:3], norms_a[:3], a_mask)
-    desc_v_list = [_coarse_descriptors(feats_v[:3], norms_v[:3], v_mask,
+    nf = COARSE_STREAMS
+    desc_a = _coarse_descriptors(feats_a[:nf], norms_a[:nf], a_mask)
+    desc_v_list = [_coarse_descriptors(feats_v[:nf], norms_v[:nf], v_mask,
                                        phase) for phase in SUB_LANE_SHIFTS]
     ka = desc_a.shape[0]
     kv = desc_v_list[0].shape[0]

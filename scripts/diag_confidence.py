@@ -86,7 +86,9 @@ def one_draw(ref, video, audio, meta):
     rank = np.cumsum(base_v) - 1
     mask_v = base_v & (rank % 4 == 0)
 
-    p_map = score_map(ms_a, norms_a, mask_a, ms_v, norms_v, mask_v, 3)
+    from describealign_tpu.alignment.matching import COARSE_STREAMS
+    p_map = score_map(ms_a, norms_a, mask_a, ms_v, norms_v, mask_v,
+                      COARSE_STREAMS)
     nb, kv = p_map.shape
     lanes = np.arange(kv)
     path1, score1 = coarse_dp_with_score(p_map)
