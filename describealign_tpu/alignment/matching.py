@@ -53,6 +53,22 @@ TOP_K = 8                   # candidates kept per audio frame
 # score best. Experiment toggle; see COARSE_STREAMS below.
 _COARSE_STREAMS_ENV = os.environ.get('DESCRIBEALIGN_COARSE_STREAMS', '')
 COARSE_STREAMS = int(_COARSE_STREAMS_ENV) if _COARSE_STREAMS_ENV else 3
+# Escalation stream count for the low-confidence retry (api._coarse_retry):
+# when the k-best margin falls below COARSE_MARGIN_FLOOR (or the map
+# fails the minimum-path-length check outright), the matcher re-runs the
+# coarse pass over ALL 5 streams - the two upper band features are immune
+# to DC offsets and narrowband distortion that corrupt energy/ZCR (the
+# reference survives such media because its candidate gate consults all 5
+# hash dicts, describealign.py:650-652; a coarse-level diag on the dcrate
+# profile restored in-band tracks on 4 of 6 degraded draws). The
+# acceptance gate (margin must clear the calibrated floor AND the
+# original) makes the escalation regression-free by construction: on the
+# dcrate end-to-end campaign (seed 20260816) results are identical with
+# the retry on or off - its value is confined to media where the 3-stream
+# margin collapses but the full-band margin doesn't. The default stays 3
+# streams: across the clean campaign profiles 3 streams score best and
+# the margins that calibrated the floor were measured at 3.
+COARSE_RETRY_STREAMS = 5
 
 # --- quality / DP constants -------------------------------------------------
 QUAL_PROB_CUTOFF = 1e-8     # reference 670
@@ -443,10 +459,15 @@ def extract_and_match(pcm_a_i16, len_a, pcm_v_i16, len_v):
     return quals, offs, starts, feats_a, feats_v, margin
 
 
-@partial(jax.jit, static_argnames=())
-def match_from_features(feats_a, len_a, feats_v, len_v):
+@partial(jax.jit, static_argnames=('nf',))
+def match_from_features(feats_a, len_a, feats_v, len_v, nf=None):
     """Host-feature fast path: stacked raw features in, compressed
     candidates out.
+
+    nf (static): coarse descriptor stream count override - the
+    low-confidence retry re-invokes this entry with
+    nf=COARSE_RETRY_STREAMS (compiles once per shape bucket; the retry
+    path is rare so the extra program is never in the hot set).
 
     feats_*: (5, Npad) feature stacks (extracted on the host - ~40x
     smaller uploads than PCM; callers ship f16, halving H2D bytes - the
@@ -466,7 +487,7 @@ def match_from_features(feats_a, len_a, feats_v, len_v):
     ms_v, norms_v = preprocess_features(feats_v)
     quals, offs, starts, _, margin = _match_core(
         ms_a, norms_a, feats_a[0], len_a,
-        ms_v, norms_v, feats_v[0], len_v)
+        ms_v, norms_v, feats_v[0], len_v, nf=nf)
     # same u8 transport grid as the streamed chunks, returned as the
     # decoded f16 values: both paths feed the LIS bit-identical qualities
     return (_qual_dequantize_f16(_qual_quantize_u8(quals)), offs, starts,
@@ -1073,7 +1094,7 @@ def nb_for(npad):
 
 
 def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
-                   feats_v, norms_v, energy_v, len_v):
+                   feats_v, norms_v, energy_v, len_v, nf=None):
     """Masks + coarse score map + k-best DP tracks.
 
     Returns (a_mask, v_mask, starts_tracks (T, B) i32 band starts,
@@ -1096,7 +1117,7 @@ def _coarse_tracks(feats_a, norms_a, energy_a, len_a,
     a_mask = valid_audio_mask(energy_a, len_a)
     v_mask = valid_video_mask(energy_v, len_v)
 
-    nf = COARSE_STREAMS
+    nf = COARSE_STREAMS if nf is None else nf
     desc_a = _coarse_descriptors(feats_a[:nf], norms_a[:nf], a_mask)
     desc_v_list = [_coarse_descriptors(feats_v[:nf], norms_v[:nf], v_mask,
                                        phase) for phase in SUB_LANE_SHIFTS]
@@ -1233,7 +1254,7 @@ def _fine_tracks(feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,
 
 
 def _match_core(feats_a, norms_a, energy_a, len_a,
-                feats_v, norms_v, energy_v, len_v):
+                feats_v, norms_v, energy_v, len_v, nf=None):
     """All-in-one device matcher.
 
     feats_*: (5, Npad) mean-subtracted features; norms_*: (5, Npad);
@@ -1246,7 +1267,7 @@ def _match_core(feats_a, norms_a, energy_a, len_a,
     """
     a_mask, v_mask, starts_tracks, centers, margin = _coarse_tracks(
         feats_a, norms_a, energy_a, len_a,
-        feats_v, norms_v, energy_v, len_v)
+        feats_v, norms_v, energy_v, len_v, nf=nf)
     nb = starts_tracks.shape[1]
     quals, offs, starts = _fine_tracks(
         feats_a, norms_a, a_mask, feats_v, norms_v, v_mask,

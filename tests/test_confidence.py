@@ -84,6 +84,103 @@ def test_aligned_pair_margin_clears_floor():
         f"{matching.COARSE_MARGIN_FLOOR}")
 
 
+def test_low_margin_coarse_retry(monkeypatch):
+    """Escalation: a below-floor margin re-runs the coarse pass over all
+    5 streams (api._coarse_retry); the retried map ships iff its margin -
+    normalized to the 3-stream scale the floor was calibrated at - clears
+    both the floor and the original. Forced deterministically by placing
+    the floor relative to the pair's measured 3- and 5-stream margins."""
+    import jax
+
+    from describealign_tpu.alignment.api import (_bucket_pad,
+                                                 host_features_padded)
+
+    video, audio, _ = build_pair(content_seconds=40.0,
+                                 narration=((8.0, 3.0),),
+                                 lead_in=2.0, seed=78)
+    v, a = _i16(video), _i16(audio)
+    sv, sa = v.shape[1], a.shape[1]
+    npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
+    fv, nv = host_features_padded(v, sv, npad)
+    fa, na = host_features_padded(a, sa, npad)
+    dev_a = jax.device_put(fa.astype(np.float16))
+    dev_v = jax.device_put(fv.astype(np.float16))
+    m3 = float(np.asarray(
+        matching.match_from_features(dev_a, na, dev_v, nv)[3]))
+    m5n = (float(np.asarray(matching.match_from_features(
+        dev_a, na, dev_v, nv, nf=matching.COARSE_RETRY_STREAMS)[3]))
+        * matching.COARSE_STREAMS / matching.COARSE_RETRY_STREAMS)
+    assert np.isfinite(m3) and m3 > 0 and np.isfinite(m5n) and m5n > 0
+
+    if m5n > m3 + 0.01:
+        # acceptance branch: floor strictly between the two margins (the
+        # 0.01 gap keeps the streamed path's 1/500-quantized margin from
+        # straddling the floor)
+        floor = m3 + (min(m5n, 2.0 * m3) - m3) / 2
+        monkeypatch.setattr(matching, 'COARSE_MARGIN_FLOOR', floor)
+        out = align_from_pcm(v, a)
+        assert abs(out[5] - m5n) < 2e-3, (
+            f"retry margin {m5n:.4f} not shipped (got {out[5]:.4f})")
+        # the retried map must still recover the planted 2 s lead-in
+        assert abs(float(out[0][0] - out[1][0]) - 2.0) < 0.5
+    else:
+        # rejection branch: floor above both -> retry runs, is rejected,
+        # the original result ships with its original (quantized) margin
+        floor = max(m3, m5n) * 1.5
+        monkeypatch.setattr(matching, 'COARSE_MARGIN_FLOOR', floor)
+        out = align_from_pcm(v, a)
+        assert abs(out[5] - m3) < 2e-3
+
+    # env kill switch: no retry, the original margin ships untouched
+    monkeypatch.setattr(matching, 'COARSE_MARGIN_FLOOR',
+                        max(m3, m5n) * 1.5)
+    monkeypatch.setenv('DESCRIBEALIGN_COARSE_RETRY', '0')
+    out = align_from_pcm(v, a)
+    assert abs(out[5] - m3) < 2e-3
+
+
+def test_raise_path_coarse_retry(monkeypatch):
+    """The reference's 'Alignment failed' path-length raise
+    (describealign.py:698-699) also triggers the 5-stream escalation: a
+    too-short LIS chain is the same coarse-signal starvation the
+    low-margin guard catches, one stage later. Forced deterministically
+    by making the first host-stages call raise; the retry's second call
+    runs the real stages and must recover the planted map."""
+    import pytest
+
+    from describealign_tpu.alignment import api
+
+    video, audio, _ = build_pair(content_seconds=40.0,
+                                 narration=((8.0, 3.0),),
+                                 lead_in=2.0, seed=79)
+    v, a = _i16(video), _i16(audio)
+
+    real_inner = api._host_stages_from_path_inner
+    calls = {"n": 0}
+
+    def flaky_inner(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "Alignment failed, are the input files mismatched?")
+        return real_inner(*args, **kw)
+
+    monkeypatch.setattr(api, '_host_stages_from_path_inner', flaky_inner)
+    out = align_from_pcm(v, a)
+    assert calls["n"] == 2, "escalation did not re-run the host stages"
+    # the recovered map carries the planted 2 s lead-in and a margin
+    # that cleared the floor (the acceptance bar on the raise path)
+    assert abs(float(out[0][0] - out[1][0]) - 2.0) < 0.5
+    assert out[5] > matching.COARSE_MARGIN_FLOOR
+
+    # kill switch: the raise propagates untouched, no second call
+    calls["n"] = 0
+    monkeypatch.setenv('DESCRIBEALIGN_COARSE_RETRY', '0')
+    with pytest.raises(RuntimeError, match="Alignment failed"):
+        align_from_pcm(v, a)
+    assert calls["n"] == 1
+
+
 def test_aligncache_margin_roundtrip(tmp_path):
     v, a = str(tmp_path / "v.mp4"), str(tmp_path / "a.mp3")
     for p in (v, a):
