@@ -341,18 +341,28 @@ def _async_host_copy(arr):
         pass
 
 
-def _use_whole_pull():
-    """Batch compact-transport pull mode. 'whole' (default) pulls the
-    entire compact buffer in ONE D2H: more bytes (live_max padding,
-    ~8.2 vs ~5.3 MB at the 27-min bucket) but one round trip and no
-    second slice program - the occupancy-exact live slice otherwise
-    queues behind the OTHER in-flight pairs' matcher programs on the
-    single device stream (measured 0.3-0.5 s extra latency per pair at
-    device_depth 4, scripts/profile_batch.py round 5). Bandwidth is
-    pipelined across pairs, so batch throughput prefers fewer/earlier
-    round trips over fewer bytes; DESCRIBEALIGN_BATCH_PULL=exact restores
-    the two-phase occupancy-exact pull (better on very slow links)."""
-    return os.environ.get('DESCRIBEALIGN_BATCH_PULL', 'whole') != 'exact'
+def _pull_mode():
+    """Batch compact-transport pull mode (DESCRIBEALIGN_BATCH_PULL):
+
+    - 'sliced' (default): the MAIN thread pulls the pair's (2,) live
+      totals two dispatches behind (a pure ~26 ms round trip - the
+      matcher finished long ago and the totals are their own output
+      buffer, so no extra device program runs), dispatches an
+      occupancy-bucketed prefix slice [0:fixed_end+ceil(live)] BEFORE the
+      next pair's matcher (so it executes immediately instead of queueing
+      behind later matchers - the failure mode that sank 'exact'), and
+      the pull pool moves counts+starts+occupied live bytes in ONE
+      transfer (~5.0 vs ~8.2 MB at the 27-min bucket; the down-link is
+      the batch critical path on the measured tunnel, PERF.md round 5).
+    - 'whole': one D2H of the entire padded buffer - no totals round
+      trip, no slice program, live_max dead bytes (the round-5 default
+      before 'sliced'; still best when round trips cost more than the
+      ~3 MB of padding).
+    - 'exact': two-phase fixed-then-live pull from the pull pool; its
+      live slice queues behind other in-flight pairs' matcher programs
+      (measured 0.3-0.5 s extra latency per pair at device_depth 4)."""
+    mode = os.environ.get('DESCRIBEALIGN_BATCH_PULL', 'sliced')
+    return mode if mode in ('sliced', 'whole', 'exact') else 'sliced'
 
 
 def _prefetch_fixed(compact_dev, nb, n_tracks):
@@ -394,6 +404,7 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     transfer - which is exactly the batch regime. Byte-identical input to
     the LIS either way (split-feed equivalence is native-layer-tested)."""
     import threading
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     b = len(pairs)
@@ -401,7 +412,8 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
     in_flight = threading.Semaphore(max(2, device_depth + 1))
     use_compact = _use_compact()
     use_fused = _use_fused_batch()
-    whole_pull = _use_whole_pull()
+    pull_mode = _pull_mode()
+    whole_pull = pull_mode == 'whole'
 
     def cpu_dense(packed, starts_tracks, margin, fa, fv, na, nv):
         with _host_token():
@@ -498,12 +510,69 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
         return cpu_pool.submit(cpu_compact, ctx, counts, live, sec,
                                starts_grouped, margin, fa, fv, na, nv)
 
+    def pull_sliced(cpu_pool, sliced_dev, t1, t2, dense_dispatch,
+                    n_tracks, nb, fa, fv, na, nv):
+        """Pull stage for 'sliced' mode: the main thread already sized and
+        dispatched the occupancy-bucketed prefix slice (counts + starts +
+        occupied live bytes); this worker just moves it in ONE transfer
+        and chains the CPU stage. Dense fallback only for an LIS
+        frontier-cap miss, as in pull_compact."""
+        try:
+            lay = matching.compact_layout(nb, n_tracks)
+            buf = np.asarray(sliced_dev)
+            margin = matching.margin_from_code(buf[1])
+            counts = buf[slice(*lay['counts'])]
+            st = np.ascontiguousarray(
+                buf[slice(*lay['starts'])]).view(np.int32).reshape(nb, -1)
+            starts_grouped = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
+            max_key = int(starts_grouped.max()) + 32768
+            ctx = None
+            if max_key + 2 <= lis.LIS_STREAM_KEY_CAP:
+                try:
+                    ctx = lis.LisStream(max_key)
+                except RuntimeError:
+                    ctx = None
+            if ctx is None:
+                packed, starts_tracks, margin = _pull_dense_parts(
+                    *dense_dispatch())
+                return cpu_pool.submit(cpu_dense, packed, starts_tracks,
+                                       margin, fa, fv, na, nv)
+            sec = matching.compact2_live_offsets(t1, t2)
+            live = buf[lay['live']:]
+        finally:
+            in_flight.release()
+        return cpu_pool.submit(cpu_compact, ctx, counts, live, sec,
+                               starts_grouped, margin, fa, fv, na, nv)
+
+    # 'sliced' mode: compact pairs wait here (lag 2) until their matcher
+    # has certainly finished; the main thread then pulls the tiny totals
+    # (pure round trip), dispatches the occupancy-bucketed prefix slice
+    # BEFORE the next matcher (so it executes immediately on the stream),
+    # and hands the one-transfer pull to the pull pool
+    pending = deque()
+
+    def flush_one(cpu_pool, pull_pool, futs):
+        (i, compact_dev, totals_dev, dense_dispatch, n_tracks, nb,
+         fa, fv, na, nv) = pending.popleft()
+        totals = np.asarray(totals_dev)
+        t1, t2 = int(totals[0]), int(totals[1])
+        lay = matching.compact_layout(nb, n_tracks)
+        sec = matching.compact2_live_offsets(t1, t2)
+        q = min(lay['live_max'],
+                -(-sec['total'] // lay['step']) * lay['step'])
+        sliced_dev = compact_dev[:lay['fixed_end'] + q]
+        futs.append((i, pull_pool.submit(
+            pull_sliced, cpu_pool, sliced_dev, t1, t2, dense_dispatch,
+            n_tracks, nb, fa, fv, na, nv)))
+
     futs = []
     with ThreadPoolExecutor(max_workers=host_workers) as cpu_pool, \
          ThreadPoolExecutor(max_workers=_pull_threads()) as pull_pool:
         for i in range(b):
             v, a = pairs[i]
             sv, sa = true_samples[i]
+            while len(pending) >= 2:
+                flush_one(cpu_pool, pull_pool, futs)
             in_flight.acquire()
             try:
                 npad = max(_bucket_pad(sv // 210), _bucket_pad(sa // 210))
@@ -526,16 +595,24 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                     # cross-pair pipelining, while each dispatch costs
                     # host client CPU + a tunnel round trip
                     if use_compact:
-                        compact_dev = matching.match_pair_compact(
+                        compact_dev, totals_dev = matching.match_pair_compact(
                             dev_av, na, nv)
+                        dense_dispatch = (
+                            lambda d=dev_av, a_=na, v_=nv:
+                            (matching.match_pair_combo(d, a_, v_),
+                             matching.N_TRACKS))
+                        if pull_mode == 'sliced':
+                            pending.append((i, compact_dev, totals_dev,
+                                            dense_dispatch,
+                                            matching.N_TRACKS, nb,
+                                            fa, fv, na, nv))
+                            continue
                         fixed_dev = (None if whole_pull else
                                      _prefetch_fixed(compact_dev, nb,
                                                      matching.N_TRACKS))
                         futs.append((i, pull_pool.submit(
                             pull_compact, cpu_pool, fixed_dev, compact_dev,
-                            (lambda d=dev_av, a_=na, v_=nv:
-                             (matching.match_pair_combo(d, a_, v_),
-                              matching.N_TRACKS)),
+                            dense_dispatch,
                             matching.N_TRACKS, nb, fa, fv, na, nv)))
                     else:
                         combo_dev = matching.match_pair_combo(dev_av,
@@ -548,15 +625,23 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 chunks, starts_dev, _, margin_dev = \
                     matching.match_stream_pair(dev_av, na, nv)
                 if use_compact and starts_dev.shape[0] == 2:
-                    compact_dev = matching.concat_chunks_compact(
+                    compact_dev, totals_dev = matching.concat_chunks_compact(
                         chunks, starts_dev, margin_dev)
+                    dense_dispatch = (
+                        lambda ch=chunks, sd=starts_dev, md=margin_dev:
+                        (matching.concat_chunks_with_starts(ch, sd, md),
+                         sd.shape[0]))
+                    if pull_mode == 'sliced':
+                        pending.append((i, compact_dev, totals_dev,
+                                        dense_dispatch,
+                                        starts_dev.shape[0], nb,
+                                        fa, fv, na, nv))
+                        continue
                     fixed_dev = (None if whole_pull else
                                  _prefetch_fixed(compact_dev, nb, 2))
                     futs.append((i, pull_pool.submit(
                         pull_compact, cpu_pool, fixed_dev, compact_dev,
-                        (lambda ch=chunks, sd=starts_dev, md=margin_dev:
-                         (matching.concat_chunks_with_starts(ch, sd, md),
-                          sd.shape[0])),
+                        dense_dispatch,
                         starts_dev.shape[0], nb, fa, fv, na, nv)))
                 else:
                     combo_dev = matching.concat_chunks_with_starts(
@@ -572,6 +657,8 @@ def _align_batch_streamed(pairs, true_samples, fit_backend, host_workers,
                 # error aborts the batch.
                 in_flight.release()
                 raise
+        while pending:
+            flush_one(cpu_pool, pull_pool, futs)
         for i, f in futs:
             results[i] = f.result().result()
     return results
@@ -668,11 +755,11 @@ def warmup_compile(max_minutes):
         fav = np.zeros((2, 5, npad), np.float16)
         fav[:, 0, :210 * 30] = 1.0
         dev_av = jax.device_put(fav)
-        compact_dev = None
+        compact_dev = totals_dev = None
         if _use_fused_batch() and matching.N_TRACKS == 2:
             if _use_compact():
-                compact_dev = matching.match_pair_compact(dev_av, 210 * 30,
-                                                          210 * 30)
+                compact_dev, totals_dev = matching.match_pair_compact(
+                    dev_av, 210 * 30, 210 * 30)
             else:
                 np.asarray(matching.match_pair_combo(dev_av, 210 * 30,
                                                      210 * 30))
@@ -680,24 +767,29 @@ def warmup_compile(max_minutes):
             chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
                 dev_av, 210 * 30, 210 * 30)
             if _use_compact() and starts_dev.shape[0] == 2:
-                compact_dev = matching.concat_chunks_compact(
+                compact_dev, totals_dev = matching.concat_chunks_compact(
                     chunks, starts_dev, margin_dev)
             else:
                 np.asarray(matching.concat_chunks_with_starts(
                     chunks, starts_dev, margin_dev))
         if compact_dev is not None:
-            # the consumer pulls [0:fixed_end] then a step-quantized live
-            # slice; dispatching each slice size compiles it (results land
-            # in the persistent cache) without pulling the bytes
+            # warm the active pull mode's program family: the totals pull
+            # plus each step-quantized slice size - 'sliced' prefix
+            # slices [0:fixed_end+q], 'exact' live slices [p0:p0+q] -
+            # dispatching compiles them (results land in the persistent
+            # cache) without pulling the bytes
+            np.asarray(totals_dev)
             lay = matching.compact_layout(matching.nb_for(npad),
                                           matching.N_TRACKS)
             np.asarray(compact_dev[:lay['fixed_end']])
             p0, step = lay['live'], lay['step']
+            sliced = _pull_mode() == 'sliced'
             q = step
             while q < lay['live_max']:
-                compact_dev[p0:p0 + q]
+                compact_dev[:p0 + q] if sliced else compact_dev[p0:p0 + q]
                 q += step
-            compact_dev[p0:p0 + lay['live_max']]
+            (compact_dev[:p0 + lay['live_max']] if sliced else
+             compact_dev[p0:p0 + lay['live_max']])
     print(f"warmed {len(buckets)} shape buckets.            ")
 
 

@@ -782,7 +782,8 @@ def _compact2_live(packed, k2):
     cnt2_full = jnp.zeros((nb, 210), jnp.int32).at[:, ::2].set(
         cnt2.reshape(nb, 105))
     counts = (cnt1 | (cnt2_full << 4)).astype(jnp.uint8).ravel()
-    return counts, out
+    totals = jnp.stack([t1, t2]).astype(jnp.int32)
+    return counts, out, totals
 
 
 def _compact_planes(codes, lo, hi2, budget):
@@ -849,18 +850,21 @@ def _compact_sections(packed, k2, b1, b2):
 @jax.jit
 def concat_chunks_compact(chunks, starts_tracks, margin):
     """Batch transport, compacted: one (L,) u8 buffer per pair (see the
-    layout above; header byte 1 carries the coarse-margin u8 code). Same
-    candidate content as concat_chunks_with_starts; the consumer pulls
-    [0:fixed_end] then exactly the occupied live bytes."""
+    layout above; header byte 1 carries the coarse-margin u8 code) plus a
+    (2,) i32 live-totals array. Same candidate content as
+    concat_chunks_with_starts; the consumer sizes an occupancy-exact
+    prefix slice [0:fixed_end+ceil(live)] from the totals (a ~32 B pull
+    that costs one link round trip and no extra device program) and pulls
+    counts + starts + occupied live bytes in ONE transfer."""
     packed = jnp.concatenate(chunks, axis=0)            # (nb, W) int16
     nb = packed.shape[0]
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
-    counts, live = _compact2_live(packed, k2)
+    counts, live, totals = _compact2_live(packed, k2)
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :nb]).astype(jnp.int32),
         jnp.uint8).reshape(-1)                          # nb*T*4
     header = jnp.zeros((4,), jnp.uint8).at[1].set(_margin_code_u8(margin))
-    return jnp.concatenate([header, counts, st_u8, live])
+    return jnp.concatenate([header, counts, st_u8, live]), totals
 
 
 # Per-chunk budgets for the single-pair streamed path: one 256-block
@@ -1000,15 +1004,15 @@ def match_pair_combo(feats_av, len_a, len_v):
 def match_pair_compact(feats_av, len_a, len_v):
     """ONE-dispatch batch transport, compacted (layout of compact_layout;
     byte-identical buffer to concat_chunks_compact on the chunked
-    dispatch path - CI-enforced)."""
+    dispatch path - CI-enforced), plus the (2,) i32 live totals."""
     packed, starts_tracks, margin = _match_pair_fused(feats_av, len_a, len_v)
     k2 = (starts_tracks.shape[0] - 1) * (TOP_K // 2)
-    counts, live = _compact2_live(packed, k2)
+    counts, live, totals = _compact2_live(packed, k2)
     st_u8 = jax.lax.bitcast_convert_type(
         jnp.transpose(starts_tracks[:, :packed.shape[0]]).astype(jnp.int32),
         jnp.uint8).reshape(-1)
     header = jnp.zeros((4,), jnp.uint8).at[1].set(_margin_code_u8(margin))
-    return jnp.concatenate([header, counts, st_u8, live])
+    return jnp.concatenate([header, counts, st_u8, live]), totals
 
 
 def match_stream(dev_a, len_a, dev_v, len_v):

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Interleaved A/B of the batch pull strategy on the REAL link.
 
-A = default (one whole-buffer pull per pair, split pull pool)
-B = DESCRIBEALIGN_BATCH_PULL=exact (two-phase occupancy-exact pull)
+sliced = main-thread lag-2 occupancy-exact prefix slice (default)
+whole  = one whole-buffer pull per pair (round-5 default before sliced)
+exact  = two-phase occupancy-exact pull from the pull pool
 
 Interleaves A B A B ... so hour-scale link drift hits both arms equally;
 prints per-rep walls and min/median per arm.
@@ -29,7 +30,9 @@ def main():
     pairs, lens, planted, kinds = build_batch_pairs()
     batch_minutes = sum(s_a / 44100.0 / 60.0 for (_, s_a) in lens)
 
-    arms = {'onepull': {}, 'exact': {'DESCRIBEALIGN_BATCH_PULL': 'exact'}}
+    arms = {'sliced': {'DESCRIBEALIGN_BATCH_PULL': 'sliced'},
+            'whole': {'DESCRIBEALIGN_BATCH_PULL': 'whole'},
+            'exact': {'DESCRIBEALIGN_BATCH_PULL': 'exact'}}
     walls = {k: [] for k in arms}
     base = None
     # warm both arms (compile + cache) before timing

@@ -52,7 +52,7 @@ def main():
             chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
                 dev_av, na, nv)
             outs.append(matching.concat_chunks_compact(chunks, starts_dev,
-                                                       margin_dev))
+                                                       margin_dev)[0])
         # pull only the 4-byte headers: forces every program to finish
         # without paying the multi-MB transfers
         return [np.asarray(o[:4]) for o in outs]

@@ -39,7 +39,7 @@ def main():
         nb = matching.nb_for(npad)
         lay = matching.compact_layout(nb, starts_dev.shape[0])
         buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev,
-                                                        margin_dev))
+                                                        margin_dev)[0])
         counts = buf[slice(*lay['counts'])]
         t1 = int(np.sum(counts & 15, dtype=np.int64))
         t2 = int(np.sum(counts >> 4, dtype=np.int64))

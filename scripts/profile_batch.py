@@ -98,6 +98,45 @@ def main():
             ev('tail', i, t0, c0)
             return r
 
+        def pull_sliced(cpu_pool, sliced_dev, t1, t2, nb, n_tracks,
+                        fa, fv, na, nv, i):
+            try:
+                t0, c0 = time.time(), time.thread_time()
+                lay = matching.compact_layout(nb, n_tracks)
+                buf = np.asarray(sliced_dev)
+                t0, c0 = ev('pull_sliced', i, t0, c0)
+                counts = buf[slice(*lay['counts'])]
+                st = np.ascontiguousarray(
+                    buf[slice(*lay['starts'])]).view(np.int32).reshape(
+                        nb, -1)
+                sg = np.column_stack([st[:, 0], st[:, 0], st[:, 1]])
+                ctx = lis.LisStream(int(sg.max()) + 32768)
+                sec = matching.compact2_live_offsets(t1, t2)
+                live = buf[lay['live']:]
+            finally:
+                in_flight.release()
+            return cpu_pool.submit(cpu_compact, ctx, counts, live, sec,
+                                   sg, fa, fv, na, nv, i)
+
+        pending = []
+
+        def flush_one():
+            (i, compact_dev, totals_dev, nb, n_tracks,
+             fa, fv, na, nv) = pending.pop(0)
+            t0, c0 = time.time(), time.thread_time()
+            totals = np.asarray(totals_dev)
+            t0, c0 = ev('totals', i, t0, c0)
+            t1, t2 = int(totals[0]), int(totals[1])
+            lay = matching.compact_layout(nb, n_tracks)
+            sec = matching.compact2_live_offsets(t1, t2)
+            q = min(lay['live_max'],
+                    -(-sec['total'] // lay['step']) * lay['step'])
+            sliced_dev = compact_dev[:lay['fixed_end'] + q]
+            ev('slice_disp', i, t0, c0)
+            futs.append((i, pull_pool.submit(
+                pull_sliced, cpu_pool, sliced_dev, t1, t2, nb,
+                n_tracks, fa, fv, na, nv, i)))
+
         def pull_compact(cpu_pool, fixed_dev, compact_dev, nb, n_tracks,
                          fa, fv, na, nv, i):
             try:
@@ -140,6 +179,8 @@ def main():
                 v, a = pairs[i]
                 sv, sa = lens[i]
                 t0, c0 = time.time(), time.thread_time()
+                while len(pending) >= 2:
+                    flush_one()
                 in_flight.acquire()
                 t0, c0 = ev('acquire', i, t0, c0)
                 npad = max(api._bucket_pad(sv // 210),
@@ -158,10 +199,17 @@ def main():
                 chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
                     dev_av, na, nv)
                 if use_compact:
-                    compact_dev = matching.concat_chunks_compact(
+                    compact_dev, totals_dev = matching.concat_chunks_compact(
                         chunks, starts_dev, margin_dev)
                     nb = matching.nb_for(npad)
-                    fixed_dev = (None if api._use_whole_pull() else
+                    mode = api._pull_mode()
+                    if mode == 'sliced':
+                        t0, c0 = ev('dispatch', i, t0, c0)
+                        pending.append((i, compact_dev, totals_dev, nb,
+                                        starts_dev.shape[0],
+                                        fa, fv, na, nv))
+                        continue
+                    fixed_dev = (None if mode == 'whole' else
                                  api._prefetch_fixed(compact_dev, nb,
                                                      starts_dev.shape[0]))
                     t0, c0 = ev('dispatch', i, t0, c0)
@@ -176,6 +224,8 @@ def main():
                     futs.append((i, pull_pool.submit(
                         pull_dense, cpu_pool, combo_dev,
                         2 * starts_dev.shape[0], fa, fv, na, nv, i)))
+            while pending:
+                flush_one()
             for i, f in futs:
                 results[i] = f.result().result()
         wall = time.time() - t_start

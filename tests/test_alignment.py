@@ -276,11 +276,23 @@ def test_align_batch_compact_transport_matches(monkeypatch):
     want = align_batch_from_pcm(pairs)
 
     monkeypatch.setenv('DESCRIBEALIGN_COMPACT', '1')
-    got = align_batch_from_pcm(pairs)
+    got = align_batch_from_pcm(pairs)   # default pull mode ('sliced')
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g[0], w[0])
         np.testing.assert_array_equal(g[1], w[1])
         assert g[2] == w[2] and g[4] == w[4]
+
+    # every pull mode moves the same candidate bytes: 'sliced' (default,
+    # main-thread lag-2 occupancy prefix slice), 'whole' (entire padded
+    # buffer), 'exact' (two-phase fixed-then-live) must be result-equal
+    for mode in ('whole', 'exact'):
+        monkeypatch.setenv('DESCRIBEALIGN_BATCH_PULL', mode)
+        got_m = align_batch_from_pcm(pairs)
+        for g, w in zip(got_m, got):
+            np.testing.assert_array_equal(g[0], w[0])
+            np.testing.assert_array_equal(g[1], w[1])
+            assert g[2] == w[2] and g[4] == w[4]
+    monkeypatch.delenv('DESCRIBEALIGN_BATCH_PULL')
 
     # layout invariants on the raw buffer of the first pair
     video, audio = pairs[0]
@@ -293,8 +305,9 @@ def test_align_batch_compact_transport_matches(monkeypatch):
     fav[1] = fv
     chunks, starts_dev, _, margin_dev = matching.match_stream_pair(
         jax.device_put(fav), na, nv)
-    buf = np.asarray(matching.concat_chunks_compact(chunks, starts_dev,
-                                                    margin_dev))
+    buf_dev, totals_dev = matching.concat_chunks_compact(chunks, starts_dev,
+                                                         margin_dev)
+    buf = np.asarray(buf_dev)
     nb = matching.nb_for(npad)
     lay = matching.compact_layout(nb, starts_dev.shape[0])
     assert buf.shape[0] == lay['total']
@@ -302,6 +315,9 @@ def test_align_batch_compact_transport_matches(monkeypatch):
     t1 = int(np.sum(counts & 15, dtype=np.int64))
     t2 = int(np.sum(counts >> 4, dtype=np.int64))
     assert 0 < t1 <= nb * 210 * matching.TOP_K
+    # the device-side live totals (the 'sliced' pull sizes its one
+    # transfer from these) must equal the counts-derived totals
+    np.testing.assert_array_equal(np.asarray(totals_dev), [t1, t2])
     sec = matching.compact2_live_offsets(t1, t2)
     live = buf[lay['live']:]
     a, b = sec['codes1']
@@ -345,10 +361,13 @@ def test_fused_batch_transport_matches_chunked():
     got_dense = np.asarray(matching.match_pair_combo(dev_av, na, nv))
     np.testing.assert_array_equal(got_dense, want_dense)
 
-    want_comp = np.asarray(
-        matching.concat_chunks_compact(chunks, starts_dev, margin_dev))
-    got_comp = np.asarray(matching.match_pair_compact(dev_av, na, nv))
-    np.testing.assert_array_equal(got_comp, want_comp)
+    want_comp_dev, want_totals = matching.concat_chunks_compact(
+        chunks, starts_dev, margin_dev)
+    got_comp_dev, got_totals = matching.match_pair_compact(dev_av, na, nv)
+    np.testing.assert_array_equal(np.asarray(got_comp_dev),
+                                  np.asarray(want_comp_dev))
+    np.testing.assert_array_equal(np.asarray(got_totals),
+                                  np.asarray(want_totals))
 
     # end-to-end: fused (opt-in) vs chunked (default) — pin both sides
     # explicitly so the test stays meaningful whatever the default is
